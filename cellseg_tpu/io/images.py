@@ -1,0 +1,80 @@
+"""Host-side image IO for TIFF/PNG/BMP microscopy files.
+
+The reference pipeline reads TIFF via tifffile and everything else via
+skimage.io (reference: data/pre_process_3class.py:79-83,
+baseline/predict.py:88-91), and writes zlib-compressed instance TIFFs
+(baseline/predict.py:114). We provide the same capability on top of PIL
+(dtype-preserving, RGB channel order) with no external TIFF dependency.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from PIL import Image
+
+# Allow very large microscopy slides (PIL's decompression-bomb guard would
+# otherwise reject gigapixel whole-slide images).
+Image.MAX_IMAGE_PIXELS = None
+
+IMAGE_EXTENSIONS = (".tif", ".tiff", ".png", ".bmp", ".jpg", ".jpeg")
+
+
+def imread(path: str) -> np.ndarray:
+    """Read an image preserving dtype and (for color) RGB channel order."""
+    with Image.open(path) as im:
+        frames = getattr(im, "n_frames", 1)
+        if frames > 1:
+            # Multi-page TIFF: stack pages along a leading axis.
+            pages = []
+            for i in range(frames):
+                im.seek(i)
+                pages.append(np.asarray(im))
+            return np.stack(pages, axis=0)
+        return np.asarray(im)
+
+
+def _pil_mode_for(arr: np.ndarray) -> Image.Image:
+    """Build a PIL image from an array, preserving integer dtypes."""
+    if arr.ndim == 2 and arr.dtype in (np.int64, np.uint64):
+        # PIL has no 64-bit mode; instance maps fit comfortably in int32.
+        arr = arr.astype(np.int32)
+    if arr.ndim == 2 and arr.dtype == np.uint32:
+        arr = arr.astype(np.int32)
+    return Image.fromarray(arr)
+
+
+def imwrite(path: str, arr: np.ndarray, compress: bool = True) -> None:
+    """Write an image; TIFFs get zlib (deflate) compression by default."""
+    arr = np.asarray(arr)
+    im = _pil_mode_for(arr)
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".tif", ".tiff") and compress:
+        im.save(path, compression="tiff_deflate")
+    else:
+        im.save(path)
+
+
+def imwrite_instance_tiff(path: str, labels: np.ndarray) -> None:
+    """Write an instance-label map as a zlib-compressed TIFF.
+
+    Matches the reference submission format `{name}_label.tiff`
+    (baseline/predict.py:114). Labels are stored in the smallest integer
+    dtype that holds the max label, like tifffile would for numpy input.
+    """
+    labels = np.asarray(labels)
+    mx = int(labels.max()) if labels.size else 0
+    if mx < 2**16:
+        labels = labels.astype(np.uint16)
+    else:
+        labels = labels.astype(np.int32)
+    imwrite(path, labels, compress=True)
+
+
+def list_images(directory: str) -> list[str]:
+    """Sorted image file names in a directory (reference predict.py:40)."""
+    return sorted(
+        f for f in os.listdir(directory)
+        if f.lower().endswith(IMAGE_EXTENSIONS)
+    )

@@ -1,0 +1,23 @@
+from .f1 import (
+    label_overlap,
+    intersection_over_union,
+    true_positive,
+    eval_tp_fp_fn,
+    binary_dice,
+    remove_boundary_cells,
+    relabel_sequential,
+    score_pair,
+    score_pair_tiled,
+)
+
+__all__ = [
+    "label_overlap",
+    "intersection_over_union",
+    "true_positive",
+    "eval_tp_fp_fn",
+    "binary_dice",
+    "remove_boundary_cells",
+    "relabel_sequential",
+    "score_pair",
+    "score_pair_tiled",
+]
