@@ -1,0 +1,130 @@
+"""Tiled sliding-window inference engine (XLA, static shapes).
+
+Semantics-parity rebuild of MONAI's sliding_window_inference as used by the
+reference predictor (baseline/predict.py:109: roi 256², sw_batch 4,
+overlap 0.25, constant blending) — re-architected for TPU:
+
+  - tile origins are computed on host per image shape (static), so the
+    whole scan compiles once per shape bucket;
+  - tiles are gathered with vmapped dynamic_slice straight from the padded
+    image living in HBM, run through the model as one MXU-sized batch, and
+    scatter-added into the blended accumulator — no host round-trips;
+  - padded duplicate tiles (to make the tile count divisible by the batch)
+    carry zero blend weight, so they cannot bias the average;
+  - optional Gaussian blending matches MONAI's mode="gaussian"
+    (sigma = 0.125 * roi, value-clipped at the minimum like MONAI).
+
+The engine is model-agnostic: `apply_fn(params, tiles)` must map
+(B, roi, roi, C_in) → (B, roi, roi, C_out).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def tile_origins(size: int, roi: int, overlap: float = 0.25) -> np.ndarray:
+    """1-D tile start offsets, MONAI dense-patch semantics: stride
+    roi*(1-overlap), final window clamped flush with the image edge."""
+    if size <= roi:
+        return np.array([0], dtype=np.int32)
+    stride = int(roi * (1.0 - overlap))
+    stride = max(stride, 1)
+    n = int(np.ceil((size - roi) / stride)) + 1
+    starts = np.minimum(np.arange(n) * stride, size - roi)
+    return np.unique(starts).astype(np.int32)
+
+
+def _gaussian_importance(roi: int, sigma_scale: float = 0.125) -> np.ndarray:
+    """MONAI gaussian importance map: centered 2D gaussian, clipped to its
+    own minimum positive value so no tile pixel has zero weight."""
+    sigma = sigma_scale * roi
+    center = (roi - 1) / 2.0
+    x = np.arange(roi, dtype=np.float64)
+    g = np.exp(-0.5 * ((x - center) / sigma) ** 2)
+    m = np.outer(g, g)
+    m = np.clip(m, m[m > 0].min(), None)
+    return m.astype(np.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("apply_fn", "roi", "sw_batch", "out_channels", "mode"),
+)
+def _run_tiled(apply_fn, params, padded, origins, weights, roi: int,
+               sw_batch: int, out_channels: int, mode: str):
+    ph, pw = padded.shape[0], padded.shape[1]
+    n_batches = origins.shape[0] // sw_batch
+    origins = origins.reshape(n_batches, sw_batch, 2)
+    weights = weights.reshape(n_batches, sw_batch)
+
+    if mode == "gaussian":
+        imp = jnp.asarray(_gaussian_importance(roi))[..., None]
+    else:
+        imp = jnp.ones((roi, roi, 1), jnp.float32)
+
+    acc = jnp.zeros((ph, pw, out_channels), jnp.float32)
+    cnt = jnp.zeros((ph, pw, 1), jnp.float32)
+
+    def gather_tile(origin):
+        return jax.lax.dynamic_slice(
+            padded, (origin[0], origin[1], 0), (roi, roi, padded.shape[2])
+        )
+
+    def body(carry, batch):
+        acc, cnt = carry
+        orgs, wts = batch
+        tiles = jax.vmap(gather_tile)(orgs)
+        logits = apply_fn(params, tiles).astype(jnp.float32)
+
+        def scatter_one(i, carry):
+            acc, cnt = carry
+            y, x = orgs[i, 0], orgs[i, 1]
+            w = wts[i] * imp
+            patch = jax.lax.dynamic_slice(acc, (y, x, 0), (roi, roi, out_channels))
+            acc = jax.lax.dynamic_update_slice(acc, patch + logits[i] * w, (y, x, 0))
+            cpatch = jax.lax.dynamic_slice(cnt, (y, x, 0), (roi, roi, 1))
+            cnt = jax.lax.dynamic_update_slice(cnt, cpatch + w, (y, x, 0))
+            return acc, cnt
+
+        acc, cnt = jax.lax.fori_loop(0, sw_batch, scatter_one, (acc, cnt))
+        return (acc, cnt), None
+
+    (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), (origins, weights))
+    return acc / jnp.maximum(cnt, 1e-8)
+
+
+def sliding_window_inference(apply_fn, params, image: jax.Array, roi: int = 256,
+                             sw_batch: int = 4, overlap: float = 0.25,
+                             out_channels: int = 3,
+                             mode: str = "constant") -> jax.Array:
+    """Whole-image tiled inference.
+
+    image: (H, W, C_in) float array. Returns (H, W, out_channels) float32
+    blended logits. Images smaller than roi are zero-padded and cropped back
+    (MONAI pad behavior).
+    """
+    h, w = image.shape[0], image.shape[1]
+    ph, pw = max(h, roi), max(w, roi)
+    if (ph, pw) != (h, w):
+        image = jnp.pad(image, ((0, ph - h), (0, pw - w), (0, 0)))
+
+    ys = tile_origins(ph, roi, overlap)
+    xs = tile_origins(pw, roi, overlap)
+    grid = np.stack(np.meshgrid(ys, xs, indexing="ij"), -1).reshape(-1, 2)
+    weights = np.ones(len(grid), np.float32)
+    # pad tile count to a multiple of sw_batch with zero-weight duplicates
+    rem = (-len(grid)) % sw_batch
+    if rem:
+        grid = np.concatenate([grid, np.repeat(grid[-1:], rem, 0)])
+        weights = np.concatenate([weights, np.zeros(rem, np.float32)])
+
+    out = _run_tiled(
+        apply_fn, params, image, jnp.asarray(grid), jnp.asarray(weights),
+        roi, sw_batch, out_channels, mode,
+    )
+    return out[:h, :w]

@@ -1,0 +1,206 @@
+"""Residual U-Net family (single- and multi-decoder) in flax, NHWC.
+
+Capability parity targets:
+  - the reference 3-class UNet: channels (16,32,64,128,256), strides
+    (2,2,2,2), 2 residual subunits (baseline/model_training_3class.py:200-208)
+  - the KIT-GE DUNet: shared encoder + two single-channel regression decoders
+    (cell distance / neighbor distance) (segmentation/utils/unets.py:358-484)
+
+Design is TPU-first: NHWC tensors so XLA maps convs onto the MXU without
+transposes, bfloat16 activations with float32 params/norms, and a channel
+progression wide enough to keep the systolic array fed at 256×256 tiles.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import Activation, ConvNormAct, ResidualUnit, make_norm
+
+Dtype = Any
+
+
+class UNetEncoder(nn.Module):
+    channels: Sequence[int] = (16, 32, 64, 128, 256)
+    strides: Sequence[int] = (2, 2, 2, 2)
+    num_res_units: int = 2
+    norm: str = "instance"
+    act: str = "prelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        skips = []
+        for i, feats in enumerate(self.channels[:-1]):
+            x = ResidualUnit(
+                features=feats,
+                strides=self.strides[i] if i < len(self.strides) else 1,
+                subunits=self.num_res_units,
+                norm=self.norm,
+                act=self.act,
+                dtype=self.dtype,
+            )(x)
+            skips.append(x)
+        x = ResidualUnit(
+            features=self.channels[-1],
+            strides=1,
+            subunits=self.num_res_units,
+            norm=self.norm,
+            act=self.act,
+            dtype=self.dtype,
+        )(x)
+        return x, skips
+
+
+class UNetDecoder(nn.Module):
+    """Decoder half; out_channels=N gives an N-channel head.
+
+    Each step concatenates the same-resolution encoder skip, then a strided
+    transposed conv upsamples to the next-shallower resolution (the MONAI
+    UNet recursion's `up(cat(down_out, subblock_out))` shape). The top step
+    emits `out_channels` logits at input resolution with no trailing
+    norm/activation.
+    """
+
+    channels: Sequence[int] = (16, 32, 64, 128, 256)
+    strides: Sequence[int] = (2, 2, 2, 2)
+    out_channels: int = 3
+    num_res_units: int = 1
+    norm: str = "instance"
+    act: str = "prelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skips):
+        n_levels = len(self.channels) - 1
+        for i in reversed(range(n_levels)):
+            x = jnp.concatenate([x, skips[i]], axis=-1)
+            is_top = i == 0
+            out_feats = self.out_channels if is_top else self.channels[i - 1]
+            stride = self.strides[i] if i < len(self.strides) else 2
+            x = nn.ConvTranspose(
+                out_feats, (3, 3), strides=(stride, stride), padding="SAME",
+                dtype=self.dtype,
+            )(x)
+            if not is_top:
+                x = make_norm(self.norm)(out_feats)(x).astype(self.dtype)
+                x = Activation(kind=self.act, dtype=self.dtype)(x)
+            if self.num_res_units > 0:
+                x = ResidualUnit(
+                    features=out_feats,
+                    strides=1,
+                    subunits=1,
+                    norm=self.norm,
+                    act=self.act,
+                    dtype=self.dtype,
+                    last_act=not is_top,
+                )(x)
+        return x.astype(jnp.float32)
+
+
+class UNet(nn.Module):
+    """Residual U-Net with a single head (the reference 3-class baseline)."""
+
+    out_channels: int = 3
+    channels: Sequence[int] = (16, 32, 64, 128, 256)
+    strides: Sequence[int] = (2, 2, 2, 2)
+    num_res_units: int = 2
+    norm: str = "instance"
+    act: str = "prelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        bottom, skips = UNetEncoder(
+            channels=self.channels,
+            strides=self.strides,
+            num_res_units=self.num_res_units,
+            norm=self.norm,
+            act=self.act,
+            dtype=self.dtype,
+        )(x)
+        return UNetDecoder(
+            channels=self.channels,
+            out_channels=self.out_channels,
+            num_res_units=max(1, self.num_res_units - 1),
+            norm=self.norm,
+            act=self.act,
+            dtype=self.dtype,
+        )(bottom, skips)
+
+
+class DUNet(nn.Module):
+    """Shared encoder + two regression decoders (KIT-GE distance pipeline).
+
+    Head 0 predicts the neighbor/border distance map, head 1 the cell
+    distance map, both single-channel (reference
+    segmentation/utils/unets.py:358-484). Filters default to the KIT-GE
+    64→1024 doubling ladder.
+    """
+
+    channels: Sequence[int] = (64, 128, 256, 512, 1024)
+    strides: Sequence[int] = (2, 2, 2, 2)
+    num_res_units: int = 2
+    norm: str = "group"
+    act: str = "relu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        bottom, skips = UNetEncoder(
+            channels=self.channels,
+            strides=self.strides,
+            num_res_units=self.num_res_units,
+            norm=self.norm,
+            act=self.act,
+            dtype=self.dtype,
+        )(x)
+        border = UNetDecoder(
+            channels=self.channels, out_channels=1, norm=self.norm,
+            act=self.act, dtype=self.dtype, name="border_decoder",
+        )(bottom, skips)
+        cell = UNetDecoder(
+            channels=self.channels, out_channels=1, norm=self.norm,
+            act=self.act, dtype=self.dtype, name="cell_decoder",
+        )(bottom, skips)
+        return border, cell
+
+
+class FlowNet(nn.Module):
+    """U-Net with a cellpose-style head: 2 flow channels + 1 cell logit.
+
+    Capability target of the cellpose/omnipose wrappers
+    (cellpose-omnipose-KIT-GE/test_cellpose_cyto2_grey.py) — the flow-field
+    representation decoded by gradient tracking in decode/flow.py.
+    """
+
+    channels: Sequence[int] = (32, 64, 128, 256)
+    strides: Sequence[int] = (2, 2, 2)
+    num_res_units: int = 2
+    norm: str = "group"
+    act: str = "relu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        bottom, skips = UNetEncoder(
+            channels=self.channels,
+            strides=self.strides,
+            num_res_units=self.num_res_units,
+            norm=self.norm,
+            act=self.act,
+            dtype=self.dtype,
+        )(x)
+        out = UNetDecoder(
+            channels=self.channels, out_channels=3, norm=self.norm,
+            act=self.act, dtype=self.dtype,
+        )(bottom, skips)
+        flow = out[..., :2]
+        cellprob = out[..., 2:]
+        return flow, cellprob

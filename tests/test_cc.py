@@ -1,0 +1,78 @@
+import numpy as np
+import pytest
+
+from cellseg_tpu.decode import decode_interior_prob, decode_interior_prob_host
+from cellseg_tpu.ops.cc import (
+    label_components,
+    remove_small_holes_jax,
+    remove_small_objects_jax,
+)
+from cellseg_tpu.ops.host_morphology import (
+    connected_components,
+    remove_small_holes,
+    remove_small_objects,
+)
+
+
+def random_mask(rng, shape=(96, 128), p=0.35):
+    return rng.random(shape) < p
+
+
+@pytest.mark.parametrize("connectivity", [1, 2])
+def test_label_components_matches_scipy(rng, connectivity):
+    import jax.numpy as jnp
+
+    for trial in range(4):
+        m = random_mask(rng, p=0.3 + 0.1 * trial)
+        got = np.asarray(label_components(jnp.asarray(m), connectivity=connectivity))
+        want = connected_components(m, connectivity=connectivity)
+        assert np.array_equal(got, want), f"trial {trial} conn {connectivity}"
+
+
+def test_label_components_snake(rng):
+    """Worst-case serpentine component exercises pointer jumping."""
+    import jax.numpy as jnp
+
+    m = np.zeros((64, 64), dtype=bool)
+    for r in range(0, 64, 2):
+        m[r, :] = True
+        if (r // 2) % 2 == 0:
+            m[r + 1 if r + 1 < 64 else r, 63] = True
+        else:
+            m[r + 1 if r + 1 < 64 else r, 0] = True
+    got = np.asarray(label_components(jnp.asarray(m), connectivity=1))
+    want = connected_components(m, connectivity=1)
+    assert np.array_equal(got, want)
+
+
+def test_remove_small_objects_parity(rng):
+    import jax.numpy as jnp
+
+    m = random_mask(rng, p=0.25)
+    got = np.asarray(remove_small_objects_jax(jnp.asarray(m), min_size=16))
+    want = remove_small_objects(m, min_size=16)
+    assert np.array_equal(got, want)
+
+
+def test_remove_small_holes_parity(rng):
+    import jax.numpy as jnp
+
+    m = random_mask(rng, p=0.6)
+    got = np.asarray(remove_small_holes_jax(jnp.asarray(m), area_threshold=64))
+    want = remove_small_holes(m, area_threshold=64)
+    assert np.array_equal(got, want)
+
+
+def test_decode_device_matches_host(rng):
+    import jax.numpy as jnp
+
+    prob = rng.random((128, 160)).astype(np.float32)
+    # smooth it so blobs form
+    from scipy.ndimage import gaussian_filter
+
+    prob = gaussian_filter(prob, 3.0)
+    prob = (prob - prob.min()) / (prob.max() - prob.min())
+    got = np.asarray(decode_interior_prob(jnp.asarray(prob)))
+    want = decode_interior_prob_host(prob)
+    assert np.array_equal(got, want)
+    assert got.max() > 0

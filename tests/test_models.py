@@ -1,0 +1,71 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cellseg_tpu.models.unet import DUNet, FlowNet, UNet
+
+
+@pytest.fixture(scope="module")
+def small_unet():
+    m = UNet(channels=(8, 16, 32), strides=(2, 2), num_res_units=2)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    return m, params
+
+
+def test_unet_shapes(small_unet):
+    m, params = small_unet
+    y = m.apply(params, jnp.zeros((2, 64, 64, 3)))
+    assert y.shape == (2, 64, 64, 3)
+    assert y.dtype == jnp.float32
+
+
+def test_unet_shift_equivariance_sanity(small_unet):
+    """conv net output must respond locally: zero input -> spatially
+    constant output; a bump changes outputs near the bump."""
+    m, params = small_unet
+    base = np.asarray(m.apply(params, jnp.zeros((1, 64, 64, 3))))[0]
+    bump = jnp.zeros((1, 64, 64, 3)).at[0, 32, 32, :].set(5.0)
+    out = np.asarray(m.apply(params, bump))[0]
+    diff = np.abs(out - base).sum(-1)
+    assert diff[32, 32] > 1e-4
+    assert diff[0, 0] < diff[32, 32]
+
+
+def test_unet_bf16():
+    m = UNet(channels=(8, 16, 32), strides=(2, 2), dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    assert y.dtype == jnp.float32  # logits promoted back for the loss
+
+
+def test_dunet_heads():
+    m = DUNet(channels=(8, 16, 32), strides=(2, 2))
+    x = jnp.zeros((1, 64, 64, 1))
+    params = m.init(jax.random.PRNGKey(0), x)
+    border, cell = m.apply(params, x)
+    assert border.shape == (1, 64, 64, 1) and cell.shape == (1, 64, 64, 1)
+
+
+def test_flownet_heads():
+    m = FlowNet(channels=(8, 16, 32), strides=(2, 2))
+    x = jnp.zeros((1, 64, 64, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    flow, prob = m.apply(params, x)
+    assert flow.shape == (1, 64, 64, 2) and prob.shape == (1, 64, 64, 1)
+
+
+def test_unet_gradients_flow(small_unet):
+    m, params = small_unet
+    from cellseg_tpu.train.losses import dice_ce_loss
+
+    def loss(p):
+        logits = m.apply(p, jnp.ones((1, 64, 64, 3)) * 0.5)
+        return dice_ce_loss(logits, jnp.zeros((1, 64, 64), jnp.int32))
+
+    g = jax.grad(loss)(params)
+    norms = [float(jnp.abs(x).max()) for x in jax.tree.leaves(g)]
+    assert max(norms) > 0
+    assert all(np.isfinite(n) for n in norms)
