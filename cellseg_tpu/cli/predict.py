@@ -1,0 +1,92 @@
+"""CLI: whole-image instance segmentation — THE challenge submission ABI.
+
+Parity with reference `predict.py -i <input> -o <output>`
+(baseline/predict.py:23-122): reads every image in the input dir, runs
+percentile normalization + sliding-window inference + instance decoding,
+and writes `{stem}_label.tiff` zlib-compressed instance maps. All compute
+runs on device in one fused program per shape bucket (see infer/predictor.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from ..io import imread, imwrite, imwrite_instance_tiff, list_images
+from ..train.checkpoint import load_model_for_inference
+
+join = os.path.join
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        "TPU-native microscopy image segmentation", add_help=False
+    )
+    parser.add_argument("-i", "--input_path", default="./inputs", type=str,
+                        help="input image directory")
+    parser.add_argument("-o", "--output_path", default="./outputs", type=str,
+                        help="output path")
+    parser.add_argument("--model_path", default="./work_dir/unet_3class",
+                        help="checkpoint directory (with config.json sidecar)")
+    parser.add_argument("--checkpoint", default="best_model.ckpt",
+                        help="checkpoint file within model_path")
+    parser.add_argument("--show_overlay", required=False, default=False,
+                        action="store_true", help="save segmentation overlay")
+    parser.add_argument("--model_name", default=None,
+                        help="override model architecture (default: sidecar)")
+    parser.add_argument("--num_class", default=3, type=int)
+    parser.add_argument("--input_size", default=256, type=int,
+                        help="sliding-window ROI size")
+    parser.add_argument("--sw_batch_size", default=4, type=int)
+    parser.add_argument("--bucket", default=256, type=int,
+                        help="shape bucket to bound recompiles")
+    parser.add_argument("-h", "--help", action="help")
+    args = parser.parse_args(argv)
+
+    os.makedirs(args.output_path, exist_ok=True)
+    img_names = list_images(args.input_path)
+
+    from ..infer.predictor import Predictor
+
+    model, params, cfg = load_model_for_inference(
+        args.model_path, args.checkpoint
+    )
+    predictor = Predictor(
+        lambda p, t: model.apply(p, t), params,
+        roi=args.input_size, sw_batch=args.sw_batch_size,
+        num_class=args.num_class, bucket=args.bucket,
+    )
+
+    for img_name in img_names:
+        img_data = np.asarray(imread(join(args.input_path, img_name)))
+        t0 = time.time()
+        labels = predictor.predict(img_data)
+        stem = img_name.split(".")[0]
+        imwrite_instance_tiff(join(args.output_path, stem + "_label.tiff"), labels)
+        t1 = time.time()
+        print(
+            f"Prediction finished: {img_name}; img size = {img_data.shape}; "
+            f"costing: {t1 - t0:.2f}s"
+        )
+
+        if args.show_overlay:
+            from ..ops.host_morphology import (
+                binary_dilation_disk,
+                find_boundaries_inner,
+            )
+
+            boundary = find_boundaries_inner(labels)
+            boundary = binary_dilation_disk(boundary, 2)
+            overlay = img_data.copy()
+            if overlay.ndim == 2:
+                overlay = np.repeat(overlay[..., None], 3, axis=-1)
+            overlay[boundary] = 255
+            imwrite(join(args.output_path, "overlay_" + stem + ".png"),
+                    overlay.astype(np.uint8))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""End-to-end whole-image instance prediction, fully on device.
+
+The reference predictor (baseline/predict.py:87-114) does per image:
+  host percentile-normalize → H2D upload → sliding-window forward →
+  D2H full softmax map → host skimage decode → write TIFF.
+
+Here the entire chain — normalization, /max scaling, tiled inference,
+softmax, hole/object filtering, connected components — is ONE jitted XLA
+program per shape bucket; the only host transfer is the final int32 label
+map. Shape bucketing (pad bottom/right to a multiple of `bucket`) bounds
+recompilation across heterogeneous test sets; the pad region is masked out
+of the decode so labels in the true image region are unaffected.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..decode.threeclass import decode_interior_prob
+from ..pipeline.normalize import normalize_image_jax
+from .sliding_window import sliding_window_inference
+
+
+def _bucket_up(v: int, bucket: int, minimum: int) -> int:
+    v = max(v, minimum)
+    return int(np.ceil(v / bucket) * bucket)
+
+
+class Predictor:
+    """3-class sliding-window instance predictor.
+
+    apply_fn(params, tiles): (B, roi, roi, 3) → (B, roi, roi, num_class).
+    """
+
+    def __init__(self, apply_fn, params, roi: int = 256, sw_batch: int = 4,
+                 overlap: float = 0.25, num_class: int = 3,
+                 mode: str = "constant", bucket: int = 256,
+                 normalize: bool = True):
+        self.apply_fn = apply_fn
+        self.params = params
+        self.roi = roi
+        self.sw_batch = sw_batch
+        self.overlap = overlap
+        self.num_class = num_class
+        self.mode = mode
+        self.bucket = bucket
+        self.normalize = normalize
+        self._jitted = {}
+
+    def _program(self, ph: int, pw: int):
+        """Build (and cache) the fused program for a padded shape."""
+        key = (ph, pw)
+        if key in self._jitted:
+            return self._jitted[key]
+
+        @jax.jit
+        def run(params, padded_u8, true_h, true_w):
+            if self.normalize:
+                norm = normalize_image_jax(padded_u8).astype(jnp.float32)
+            else:
+                norm = padded_u8.astype(jnp.float32)
+            # reference: test_npy01 = pre_img_data / np.max(pre_img_data)
+            denom = jnp.maximum(jnp.max(norm), 1e-8)
+            np01 = norm / denom
+            logits = sliding_window_inference(
+                self.apply_fn, params, np01, roi=self.roi,
+                sw_batch=self.sw_batch, overlap=self.overlap,
+                out_channels=self.num_class, mode=self.mode,
+            )
+            probs = jax.nn.softmax(logits, axis=-1)
+            interior = probs[..., 1]
+            rows = jnp.arange(ph)[:, None]
+            cols = jnp.arange(pw)[None, :]
+            valid = (rows < true_h) & (cols < true_w)
+            interior = jnp.where(valid, interior, 0.0)
+            labels = decode_interior_prob(interior)
+            # uint16 halves the D2H transfer; cell counts are far below 65k
+            return labels.astype(jnp.uint16), interior
+
+        self._jitted[key] = run
+        return run
+
+    def predict(self, img: np.ndarray) -> np.ndarray:
+        """Raw image (H, W[, C]) → int32 instance label map (H, W)."""
+        img = np.asarray(img)
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        elif img.shape[-1] > 3:
+            img = img[..., :3]
+        h, w = img.shape[:2]
+        ph = _bucket_up(h, self.bucket, self.roi)
+        pw = _bucket_up(w, self.bucket, self.roi)
+        padded = np.zeros((ph, pw, 3), img.dtype)
+        padded[:h, :w] = img
+        run = self._program(ph, pw)
+        labels, _ = run(self.params, jnp.asarray(padded),
+                        jnp.int32(h), jnp.int32(w))
+        return np.asarray(labels)[:h, :w].astype(np.int32)
+
+    def predict_timed(self, img: np.ndarray) -> tuple[np.ndarray, float]:
+        """Predict with wall-clock timing (post-compilation steady state)."""
+        t0 = time.perf_counter()
+        out = self.predict(img)
+        return out, time.perf_counter() - t0

@@ -3,13 +3,26 @@
 The reference decodes instances on host with skimage.measure.label /
 remove_small_objects / remove_small_holes (baseline/predict.py:113), a
 Cython hot path with a full-image device→host round trip. Here labeling
-runs on-device as the classic GPU label-equivalence scheme (iterative
-min-neighbor hooking + pointer-jumping compression), converging in
-O(log N) sweeps of pure vector ops + gathers — no host transfer.
+runs entirely on device.
 
-Label order parity: each component's root is its minimum linear (raster)
-index, so ranking roots by raster position reproduces scipy/skimage's
-first-encounter label order exactly.
+TPU cost model (measured on v5e): windowed min sweeps cost ~0.1 ms per
+4.2 MP pass, while arbitrary gathers/scatters cost 30–40 ms. The labeling
+loop therefore uses ONLY window/scan primitives:
+
+  - 3×3 (or plus-shaped) reduce_window min sweeps propagate labels locally;
+  - segmented min-scans along rows and columns jump labels across entire
+    mask runs in one pass (log-depth associative scan), which collapses
+    blob interiors in a couple of outer iterations.
+
+A fixed point of the sweep (no pixel changed) is exactly full convergence,
+so the while_loop's exit condition is also the correctness proof. The only
+gather in the whole pipeline is the final rank lookup for sequential
+relabeling (one pass), and areas use one scatter-add — both unavoidable
+and paid once, not per iteration.
+
+Label order parity: a component's converged label is its minimum linear
+index == its first pixel in raster order, so ranking roots reproduces
+scipy/skimage first-encounter ordering exactly.
 """
 
 from __future__ import annotations
@@ -19,45 +32,73 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_INF = jnp.int32(2**31 - 1)
-
-# neighbor shifts
-_SHIFTS_4 = ((-1, 0), (1, 0), (0, -1), (0, 1))
-_SHIFTS_8 = _SHIFTS_4 + ((-1, -1), (-1, 1), (1, -1), (1, 1))
+_INF_I = 2**31 - 1  # python int for pad fills / reduce_window init
+_INF = jnp.int32(_INF_I)
 
 
-def _neighbor_min(lab: jax.Array, connectivity: int) -> jax.Array:
-    """Min label over the (masked) neighborhood; INF-padded borders."""
-    shifts = _SHIFTS_8 if connectivity == 2 else _SHIFTS_4
-    h, w = lab.shape
-    out = lab
-    padded = jnp.pad(lab, 1, constant_values=_INF)
-    for dy, dx in shifts:
-        nb = jax.lax.dynamic_slice(padded, (1 + dy, 1 + dx), (h, w))
-        out = jnp.minimum(out, nb)
-    return out
+def _sweep_min(lab: jax.Array, mask: jax.Array, connectivity: int) -> jax.Array:
+    """One masked neighbor-min sweep via reduce_window (no gathers)."""
+    if connectivity == 2:
+        m = jax.lax.reduce_window(lab, 2**31 - 1, jax.lax.min,
+                                  (3, 3), (1, 1), "SAME")
+    else:
+        mv = jax.lax.reduce_window(lab, 2**31 - 1, jax.lax.min,
+                                   (3, 1), (1, 1), "SAME")
+        mh = jax.lax.reduce_window(lab, 2**31 - 1, jax.lax.min,
+                                   (1, 3), (1, 1), "SAME")
+        m = jnp.minimum(mv, mh)
+    return jnp.where(mask, m, _INF)
+
+
+def _shift(arr: jax.Array, d: int, axis: int, fill) -> jax.Array:
+    """Shift along axis by d (positive = toward higher index), filling."""
+    h, w = arr.shape
+    if axis == 0:
+        pad = ((d, 0), (0, 0)) if d > 0 else ((0, -d), (0, 0))
+        start = (0, 0) if d > 0 else (-d, 0)
+    else:
+        pad = ((0, 0), (d, 0)) if d > 0 else ((0, 0), (0, -d))
+        start = (0, 0) if d > 0 else (0, -d)
+    padded = jnp.pad(arr, pad, constant_values=fill)
+    return jax.lax.dynamic_slice(padded, start, (h, w))
+
+
+def _segmented_min_scan(lab: jax.Array, mask: jax.Array, axis: int) -> jax.Array:
+    """Propagate the min label across contiguous mask runs along an axis.
+
+    Hand-lowered log-doubling segmented scan (Hillis–Steele): at step d a
+    pixel absorbs the running min from distance d away unless a segment
+    boundary (unmasked pixel) lies between. Both directions fused. The
+    explicit shift formulation compiles orders of magnitude faster than
+    lax.associative_scan's generic lowering at these sizes.
+    """
+    size = lab.shape[axis]
+    # forward state: (value = running prefix min, open = no boundary yet
+    # between the segment start candidate and this pixel)
+    fv, fo = lab, mask
+    bv, bo = lab, mask
+    d = 1
+    while d < size:
+        fv = jnp.where(fo, jnp.minimum(fv, _shift(fv, d, axis, _INF_I)), fv)
+        fo = jnp.logical_and(fo, _shift(fo, d, axis, False))
+        bv = jnp.where(bo, jnp.minimum(bv, _shift(bv, -d, axis, _INF_I)), bv)
+        bo = jnp.logical_and(bo, _shift(bo, -d, axis, False))
+        d *= 2
+    return jnp.where(mask, jnp.minimum(fv, bv), _INF)
 
 
 @functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
 def label_components(mask: jax.Array, connectivity: int = 2,
-                     max_iters: int = 64) -> jax.Array:
+                     max_iters: int = 1024) -> jax.Array:
     """Label connected components of a bool mask, skimage-order 1..K.
 
     connectivity: 1 → 4-neighborhood, 2 → 8-neighborhood
     (skimage.measure.label 2D default is 2).
-
-    Algorithm: Shiloach–Vishkin-style union-find on the pixel grid. Each
-    sweep (a) takes the min label over each pixel's neighborhood, (b)
-    scatter-mins that value into the pixel's current ROOT (so whole trees
-    hook onto smaller roots in one step), and (c) compresses paths with
-    pointer jumping. Converges in O(log n) sweeps even on serpentine /
-    percolation-threshold masks.
     """
     h, w = mask.shape
     n = h * w
     lin = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
     lab = jnp.where(mask, lin, _INF)
-    flat_mask = mask.ravel()
 
     def cond(state):
         _, changed, it = state
@@ -65,64 +106,81 @@ def label_components(mask: jax.Array, connectivity: int = 2,
 
     def body(state):
         lab, _, it = state
-        # (a) best (min) label visible in each pixel's neighborhood
-        nbr = jnp.where(mask, _neighbor_min(lab, connectivity), _INF).ravel()
-        flat = lab.ravel()
-        safe = jnp.where(flat == _INF, 0, flat)
-        # (b) hook: parent[root_of(p)] <- min(…, nbr[p]); parent table is
-        # pixel-indexed because labels are pixel ids. Background scatters
-        # INF, a no-op under min.
-        parent = jnp.full((n,), _INF, jnp.int32).at[safe].min(
-            jnp.where(flat_mask, nbr, _INF)
-        )
-        parent = jnp.where(flat_mask, jnp.minimum(parent, flat), parent)
-        # ensure entries for pixels that are nobody's label keep identity
-        parent = jnp.where(parent == _INF,
-                           jnp.where(flat_mask, jnp.arange(n, dtype=jnp.int32), _INF),
-                           parent)
-        # (c) compress: parent <- parent[parent], twice
+        new = lab
         for _ in range(2):
-            psafe = jnp.where(parent == _INF, 0, parent)
-            parent = jnp.where(parent == _INF, _INF, parent[psafe])
-        new_flat = jnp.where(flat_mask, parent[safe], _INF)
-        new_lab = new_flat.reshape(h, w)
-        changed = jnp.any(new_lab != lab)
-        return new_lab, changed, it + 1
+            new = _sweep_min(new, mask, connectivity)
+        new = _segmented_min_scan(new, mask, axis=1)
+        new = _segmented_min_scan(new, mask, axis=0)
+        # final sweep so the fixed-point check certifies convergence of the
+        # plain neighbor relation (fixed point ⇒ all neighbors equal)
+        new = _sweep_min(new, mask, connectivity)
+        changed = jnp.any(new != lab)
+        return new, changed, it + 1
 
     lab, _, _ = jax.lax.while_loop(
         cond, body, (lab, jnp.bool_(True), jnp.int32(0))
     )
 
-    # sequential ids in raster order of component roots
+    # sequential ids in raster order of component roots (single gather)
     flat = lab.ravel()
-    is_root = flat == jnp.arange(n, dtype=jnp.int32)
-    is_root = jnp.logical_and(is_root, mask.ravel())
+    is_root = jnp.logical_and(flat == jnp.arange(n, dtype=jnp.int32),
+                              mask.ravel())
     seq = jnp.cumsum(is_root.astype(jnp.int32))
     safe = jnp.where(flat == _INF, 0, flat)
     out = jnp.where(mask.ravel(), seq[safe], 0)
     return out.reshape(h, w)
 
 
-@functools.partial(jax.jit, static_argnames=("connectivity",))
-def component_areas_map(mask: jax.Array, connectivity: int = 1):
-    """Per-pixel component area for a bool mask (0 on background).
+@functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+def _root_labels(mask: jax.Array, connectivity: int = 1,
+                 max_iters: int = 1024) -> jax.Array:
+    """Converged root-index labels (no sequential relabel; INF outside)."""
+    h, w = mask.shape
+    lin = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    lab = jnp.where(mask, lin, _INF)
 
-    Returns (labels, area_map). Scatter-add over root ids runs on device.
-    """
-    lab = label_components(mask, connectivity=connectivity)
-    n = mask.shape[0] * mask.shape[1]
-    flat = lab.ravel()
-    areas = jnp.zeros((n + 1,), jnp.int32).at[flat].add(1)
-    area_map = areas[flat].reshape(mask.shape)
-    return lab, jnp.where(mask, area_map, 0)
+    def cond(state):
+        _, changed, it = state
+        return jnp.logical_and(changed, it < max_iters)
+
+    def body(state):
+        lab, _, it = state
+        new = lab
+        for _ in range(2):
+            new = _sweep_min(new, mask, connectivity)
+        new = _segmented_min_scan(new, mask, axis=1)
+        new = _segmented_min_scan(new, mask, axis=0)
+        new = _sweep_min(new, mask, connectivity)
+        changed = jnp.any(new != lab)
+        return new, changed, it + 1
+
+    lab, _, _ = jax.lax.while_loop(
+        cond, body, (lab, jnp.bool_(True), jnp.int32(0))
+    )
+    return lab
+
+
+def _area_filter(mask: jax.Array, threshold: int, connectivity: int,
+                 keep_large: bool) -> jax.Array:
+    """Shared area-filter core: one scatter-add + one gather total."""
+    h, w = mask.shape
+    n = h * w
+    roots = _root_labels(mask, connectivity).ravel()
+    safe = jnp.where(roots == _INF, 0, roots)
+    areas = jnp.zeros((n,), jnp.int32).at[safe].add(
+        mask.ravel().astype(jnp.int32)
+    )
+    pixel_area = jnp.where(mask.ravel(), areas[safe], 0).reshape(h, w)
+    if keep_large:
+        return jnp.logical_and(mask, pixel_area >= threshold)
+    return jnp.logical_and(mask, pixel_area < threshold)
 
 
 @functools.partial(jax.jit, static_argnames=("min_size", "connectivity"))
 def remove_small_objects_jax(mask: jax.Array, min_size: int = 16,
                              connectivity: int = 1) -> jax.Array:
     """Drop components with area < min_size (skimage semantics, on device)."""
-    _, area = component_areas_map(mask, connectivity)
-    return jnp.logical_and(mask, area >= min_size)
+    return _area_filter(mask, min_size, connectivity, keep_large=True)
 
 
 @functools.partial(jax.jit, static_argnames=("area_threshold", "connectivity"))
@@ -130,6 +188,18 @@ def remove_small_holes_jax(mask: jax.Array, area_threshold: int = 64,
                            connectivity: int = 1) -> jax.Array:
     """Fill background components with area < area_threshold (on device)."""
     inv = jnp.logical_not(mask)
-    _, area = component_areas_map(inv, connectivity)
-    fill = jnp.logical_and(inv, area < area_threshold)
+    fill = _area_filter(inv, area_threshold, connectivity, keep_large=False)
     return jnp.logical_or(mask, fill)
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity",))
+def component_areas_map(mask: jax.Array, connectivity: int = 1):
+    """Per-pixel component area for a bool mask (0 on background).
+
+    Returns (labels, area_map)."""
+    lab = label_components(mask, connectivity=connectivity)
+    n = mask.shape[0] * mask.shape[1]
+    flat = lab.ravel()
+    areas = jnp.zeros((n + 1,), jnp.int32).at[flat].add(1)
+    area_map = areas[flat].reshape(mask.shape)
+    return lab, jnp.where(mask, area_map, 0)

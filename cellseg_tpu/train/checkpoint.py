@@ -1,0 +1,88 @@
+"""Checkpointing: msgpack param/opt-state blobs + JSON architecture sidecar.
+
+The reference saves torch state dicts plus (KIT-GE) a JSON sidecar that lets
+inference rebuild the architecture from disk (segmentation/utils/utils.py:
+102-115, inference.py:36-48) — that sidecar idea is kept here as the primary
+mechanism: every checkpoint directory carries `config.json` with the model
+name and constructor arguments, so `load_model_for_inference` needs no
+out-of-band knowledge. Resume is first-class (the reference's was commented
+out, model_training_3class.py:64).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path: str, params: Any, opt_state: Any = None,
+                    step: int = 0, epoch: int = 0,
+                    extra: dict | None = None) -> None:
+    """Serialize a training snapshot to a single msgpack file."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        # to_state_dict converts tuple-structured pytrees (e.g. optax
+        # states) into msgpack-friendly nested dicts
+        "params": serialization.to_state_dict(jax.device_get(params)),
+        "step": int(step),
+        "epoch": int(epoch),
+    }
+    if opt_state is not None:
+        payload["opt_state"] = serialization.to_state_dict(
+            jax.device_get(opt_state)
+        )
+    if extra:
+        payload["extra"] = extra
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+
+
+def load_checkpoint(path: str) -> dict:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def restore_params(path: str, params_template: Any) -> tuple[Any, dict]:
+    """Load params shaped like `params_template`; returns (params, payload)."""
+    payload = load_checkpoint(path)
+    params = serialization.from_state_dict(params_template, payload["params"])
+    return params, payload
+
+
+def save_sidecar(directory: str, config: dict) -> None:
+    """Write the architecture/config JSON sidecar next to checkpoints."""
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, "config.json"), "w") as f:
+        json.dump(config, f, indent=2, default=str)
+
+
+def load_sidecar(directory: str) -> dict:
+    with open(os.path.join(directory, "config.json")) as f:
+        return json.load(f)
+
+
+def load_model_for_inference(model_dir: str, checkpoint: str = "best_model.ckpt"):
+    """Rebuild (model, params) from a checkpoint directory + sidecar."""
+    import jax.numpy as jnp
+
+    from ..models import build_model
+
+    cfg = load_sidecar(model_dir)
+    model = build_model(
+        cfg["model_name"],
+        num_class=cfg.get("num_class", 3),
+        input_size=cfg.get("input_size", 256),
+        dtype=jnp.bfloat16 if cfg.get("dtype") == "bfloat16" else jnp.float32,
+    )
+    payload = load_checkpoint(os.path.join(model_dir, checkpoint))
+    # initialize a template to restore against
+    dummy = jnp.zeros((1, cfg.get("input_size", 256), cfg.get("input_size", 256),
+                       cfg.get("in_channels", 3)), jnp.float32)
+    template = model.init(jax.random.PRNGKey(0), dummy)
+    params = serialization.from_state_dict(template, payload["params"])
+    return model, params, cfg

@@ -1,0 +1,205 @@
+"""3-class training loop: epochs, validation, early stop, checkpoints.
+
+Behavioral parity with the reference loop (model_training_3class.py:238-341):
+DiceCE + AdamW, val every `val_interval` epochs after epoch 20 with 256²
+sliding-window inference and foreground Dice, best-Dice checkpointing, early
+stop after `epoch_tolerance` non-improving epochs, final checkpoint +
+train_log.npz history.
+
+TPU-first differences: augmentation runs inside the jitted train step, the
+loss is only synced to host once per epoch (the reference syncs per step),
+and the batch is sharded over the ICI data-parallel mesh when more than one
+device is present.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..infer.sliding_window import sliding_window_inference
+from ..models import build_model
+from ..parallel import make_mesh, replicate, shard_batch
+from ..pipeline.augment import AugmentConfig
+from ..utils.log import ScalarLogger
+from .checkpoint import save_checkpoint, save_sidecar
+from .data import CropDataset, load_pair, prefetch, split_train_val
+from .steps import TrainState, make_train_step
+
+join = os.path.join
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    data_path: str = "./data/Train_Pre_3class/"
+    work_dir: str = "./work_dir"
+    seed: int = 2022
+    model_name: str = "unet"
+    num_class: int = 3
+    input_size: int = 256
+    batch_size: int = 8
+    max_epochs: int = 2000
+    val_interval: int = 2
+    epoch_tolerance: int = 100
+    initial_lr: float = 6e-4
+    min_val_epoch: int = 20
+    val_frac: float = 0.1
+    n_devices: int | None = None
+    dtype: str = "float32"
+    augment: bool = True
+
+
+def _foreground_dice(pred_onehot: np.ndarray, gt_onehot: np.ndarray) -> float:
+    """Mean over foreground classes of Dice (MONAI include_background=False)."""
+    dices = []
+    for c in range(1, gt_onehot.shape[-1]):
+        p, g = pred_onehot[..., c], gt_onehot[..., c]
+        denom = p.sum() + g.sum()
+        if denom == 0:
+            continue
+        dices.append(2.0 * (p * g).sum() / denom)
+    return float(np.mean(dices)) if dices else float("nan")
+
+
+def validate(apply_fn, params, val_pairs, roi: int, num_class: int,
+             sw_batch: int = 4) -> float:
+    """Whole-image sliding-window validation Dice, averaged over images."""
+    scores = []
+    for img, lbl in val_pairs:
+        x = jnp.asarray(img.astype(np.float32) / 255.0)
+        logits = sliding_window_inference(
+            apply_fn, params, x, roi=roi, sw_batch=sw_batch,
+            out_channels=num_class,
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+        pred = np.asarray(probs > 0.5)
+        gt = np.eye(num_class, dtype=np.float32)[lbl.astype(np.int64)]
+        scores.append(_foreground_dice(pred, gt))
+    return float(np.nanmean(scores))
+
+
+def train_3class(cfg: TrainConfig) -> dict:
+    model_path = join(cfg.work_dir, cfg.model_name + "_3class")
+    os.makedirs(model_path, exist_ok=True)
+
+    img_path = join(cfg.data_path, "images")
+    gt_path = join(cfg.data_path, "labels")
+    train_files, val_files = split_train_val(
+        img_path, gt_path, seed=cfg.seed, val_frac=cfg.val_frac
+    )
+    print(f"training image num: {len(train_files)}, "
+          f"validation image num: {len(val_files)}")
+
+    train_ds = CropDataset(train_files, input_size=cfg.input_size, seed=cfg.seed)
+    val_pairs = []
+    for i, g in val_files:
+        s = load_pair(i, g)
+        val_pairs.append((s.image, np.asarray(s.label)))
+
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    model = build_model(cfg.model_name, num_class=cfg.num_class,
+                        input_size=cfg.input_size, dtype=dtype)
+    rng = jax.random.PRNGKey(cfg.seed)
+    dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 3), jnp.float32)
+    params = model.init(rng, dummy)
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    print(f"model {cfg.model_name}: {n_params:,} params")
+
+    tx = optax.adamw(cfg.initial_lr)
+    apply_fn = lambda p, x, train=False: model.apply(p, x, train=train)
+    state = TrainState.create(apply_fn, params, tx)
+
+    # use the largest device count that divides the global batch
+    n_avail = cfg.n_devices or len(jax.devices())
+    n_dev = max(d for d in range(1, n_avail + 1) if cfg.batch_size % d == 0)
+    mesh = make_mesh(n_dev)
+    if n_dev > 1:
+        print(f"data-parallel over {n_dev} devices")
+    state = jax.tree.map(jnp.asarray, state)
+    if n_dev > 1:
+        state = state.replace(
+            params=replicate(mesh, state.params),
+            opt_state=replicate(mesh, state.opt_state),
+        )
+
+    step_fn = make_train_step(
+        num_classes=cfg.num_class,
+        augment=AugmentConfig() if cfg.augment else None,
+    )
+
+    save_sidecar(model_path, {
+        "model_name": cfg.model_name,
+        "num_class": cfg.num_class,
+        "input_size": cfg.input_size,
+        "in_channels": 3,
+        "dtype": cfg.dtype,
+        "framework": "cellseg_tpu",
+    })
+
+    logger = ScalarLogger(model_path)
+    best_metric, best_metric_epoch = -1.0, -1
+    epoch_loss_values, metric_values = [], []
+    steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
+    eval_apply = lambda p, t: model.apply(p, t)
+    global_step = 0
+    t_start = time.time()
+
+    for epoch in range(1, cfg.max_epochs):
+        losses = []
+        gen = train_ds.epoch_batches(cfg.batch_size)
+        for imgs, lbls in prefetch(gen):
+            rng, step_rng = jax.random.split(rng)
+            if n_dev > 1:
+                imgs, lbls = shard_batch(mesh, (imgs, lbls))
+            state, loss = step_fn(state, imgs, lbls, step_rng)
+            losses.append(loss)
+            global_step += 1
+        epoch_loss = float(jnp.mean(jnp.stack(losses)))
+        epoch_loss_values.append(epoch_loss)
+        logger.scalar("train_loss", epoch_loss, global_step)
+        print(f"epoch {epoch} average loss: {epoch_loss:.4f}")
+
+        if epoch > cfg.min_val_epoch and epoch % cfg.val_interval == 0 and val_pairs:
+            metric = validate(eval_apply, state.params, val_pairs,
+                              roi=cfg.input_size, num_class=cfg.num_class)
+            metric_values.append(metric)
+            logger.scalar("val_mean_dice", metric, epoch + 1)
+            if metric > best_metric:
+                best_metric, best_metric_epoch = metric, epoch + 1
+                save_checkpoint(join(model_path, "best_model.ckpt"),
+                                state.params, state.opt_state,
+                                step=global_step, epoch=epoch)
+                print("saved new best metric model")
+            print(f"current epoch: {epoch + 1} current mean dice: "
+                  f"{metric:.4f} best mean dice: {best_metric:.4f} "
+                  f"at epoch {best_metric_epoch}")
+            if (epoch - best_metric_epoch) > cfg.epoch_tolerance:
+                print(f"validation metric does not improve for "
+                      f"{cfg.epoch_tolerance} epochs! stopping at {epoch}")
+                break
+
+    save_checkpoint(join(model_path, "final_model.ckpt"),
+                    state.params, state.opt_state,
+                    step=global_step, epoch=epoch)
+    np.savez_compressed(join(model_path, "train_log.npz"),
+                        val_dice=np.asarray(metric_values),
+                        epoch_loss=np.asarray(epoch_loss_values))
+    logger.close()
+    wall = time.time() - t_start
+    print(f"train completed, best_metric: {best_metric:.4f} at epoch "
+          f"{best_metric_epoch}; wall {wall:.1f}s")
+    return {
+        "best_metric": best_metric,
+        "best_metric_epoch": best_metric_epoch,
+        "epochs_run": epoch,
+        "model_path": model_path,
+        "epoch_loss": epoch_loss_values,
+        "wall_seconds": wall,
+    }

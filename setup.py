@@ -1,0 +1,29 @@
+from setuptools import find_packages, setup
+
+setup(
+    name="cellseg_tpu",
+    version="0.1.0",
+    description=(
+        "TPU-native cell instance segmentation framework "
+        "(JAX/XLA/Pallas rebuild of the NeurIPS-CellSeg baseline capabilities)"
+    ),
+    packages=find_packages(exclude=("tests",)),
+    python_requires=">=3.10",
+    install_requires=[
+        "jax",
+        "flax",
+        "optax",
+        "numpy",
+        "scipy",
+        "pillow",
+        "pandas",
+    ],
+    entry_points={
+        "console_scripts": [
+            "pre_process_3class=cellseg_tpu.cli.pre_process_3class:main",
+            "model_training_3class=cellseg_tpu.cli.train:main",
+            "predict=cellseg_tpu.cli.predict:main",
+            "compute_metric=cellseg_tpu.cli.compute_metric:main",
+        ],
+    },
+)
