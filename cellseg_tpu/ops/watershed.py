@@ -1,0 +1,111 @@
+"""Marker-based watershed (on-device XLA + host golden).
+
+The reference decodes distance predictions with skimage's priority-flood
+watershed (KIT-GE segmentation/inference/postprocessing.py:144:
+watershed(image=-cell_pred, markers, mask)). A priority queue is inherently
+sequential, so the TPU version solves the equivalent shortest-path-forest
+problem instead: each masked pixel is assigned to the marker with the
+minimax path cost (the lowest "pass height" along the path, ties broken by
+marker id). Flooding is iterative 8-neighbor relaxation — pure shift/min
+vector ops, the same cost profile as the CC kernel (~0.1 ms per sweep at
+4 MP), converging in O(basin diameter) sweeps.
+
+`watershed_host` is the sequential golden (heapq priority flood with
+skimage's (value, age) ordering) used for parity tests.
+"""
+
+from __future__ import annotations
+
+import functools
+import heapq
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BIG = 3.0e38
+_SHIFTS_8 = ((-1, 0), (1, 0), (0, -1), (0, 1),
+             (-1, -1), (-1, 1), (1, -1), (1, 1))
+
+
+def _shift2(arr, dy, dx, fill):
+    h, w = arr.shape
+    padded = jnp.pad(arr, 1, constant_values=fill)
+    return jax.lax.dynamic_slice(padded, (1 + dy, 1 + dx), (h, w))
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def watershed_jax(image: jax.Array, markers: jax.Array, mask: jax.Array,
+                  max_iters: int = 512):
+    """Minimax-path watershed.
+
+    image: (H, W) elevation (lower = flooded first, e.g. -cell_pred)
+    markers: (H, W) int32 seed labels (0 = none)
+    mask: (H, W) bool region to label
+    Returns (H, W) int32 labels.
+    """
+    e = jnp.where(mask, image.astype(jnp.float32), _BIG)
+    seeded = markers > 0
+    cost = jnp.where(seeded, e, _BIG)
+    label = jnp.where(seeded, markers.astype(jnp.int32), 0)
+
+    def cond(state):
+        _, _, changed, it = state
+        return jnp.logical_and(changed, it < max_iters)
+
+    def body(state):
+        cost, label, _, it = state
+        new_cost, new_label = cost, label
+        for dy, dx in _SHIFTS_8:
+            nc = _shift2(cost, dy, dx, _BIG)
+            nl = _shift2(label, dy, dx, 0)
+            cand = jnp.maximum(nc, e)  # minimax path cost through neighbor
+            better = jnp.logical_or(
+                cand < new_cost,
+                jnp.logical_and(cand == new_cost,
+                                jnp.logical_and(nl > 0, nl < new_label)),
+            )
+            better = jnp.logical_and(better, jnp.logical_and(mask, nl > 0))
+            new_cost = jnp.where(better, cand, new_cost)
+            new_label = jnp.where(better, nl, new_label)
+        changed = jnp.any(new_label != label)
+        return new_cost, new_label, changed, it + 1
+
+    _, label, _, _ = jax.lax.while_loop(
+        cond, body, (cost, label, jnp.bool_(True), jnp.int32(0))
+    )
+    return jnp.where(mask, label, 0)
+
+
+def watershed_host(image: np.ndarray, markers: np.ndarray,
+                   mask: np.ndarray) -> np.ndarray:
+    """Sequential priority-flood watershed (skimage-order golden)."""
+    h, w = image.shape
+    labels = np.where(mask, markers.astype(np.int64), 0)
+    heap: list[tuple[float, int, int, int]] = []
+    age = 0
+    ys, xs = np.nonzero((markers > 0) & mask)
+    for y, x in zip(ys, xs):
+        heapq.heappush(heap, (float(image[y, x]), age, int(y), int(x)))
+        age += 1
+    in_queue = np.zeros((h, w), dtype=bool)
+    in_queue[ys, xs] = True
+    while heap:
+        _, _, y, x = heapq.heappop(heap)
+        lab = labels[y, x]
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                ny, nx = y + dy, x + dx
+                if not (0 <= ny < h and 0 <= nx < w):
+                    continue
+                if not mask[ny, nx] or labels[ny, nx] or in_queue[ny, nx]:
+                    continue
+                labels[ny, nx] = lab
+                in_queue[ny, nx] = True
+                heapq.heappush(
+                    heap, (float(image[ny, nx]), age, ny, nx)
+                )
+                age += 1
+    return labels
