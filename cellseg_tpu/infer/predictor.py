@@ -53,34 +53,53 @@ class Predictor:
         self._jitted = {}
 
     def _program(self, ph: int, pw: int):
-        """Build (and cache) the fused program for a padded shape."""
+        """Build (and cache) the per-shape program.
+
+        Three separately-jitted stages (normalize+scale, tiled forward,
+        decode) chained through device-resident arrays: identical data flow
+        to one fused jit, but compile time is the sum of the parts (one
+        giant program tips XLA's fusion passes into pathological compile
+        times at whole-slide sizes).
+        """
         key = (ph, pw)
         if key in self._jitted:
             return self._jitted[key]
 
         @jax.jit
-        def run(params, padded_u8, true_h, true_w):
+        def stage_norm(padded_u8):
             if self.normalize:
                 norm = normalize_image_jax(padded_u8).astype(jnp.float32)
             else:
                 norm = padded_u8.astype(jnp.float32)
             # reference: test_npy01 = pre_img_data / np.max(pre_img_data)
             denom = jnp.maximum(jnp.max(norm), 1e-8)
-            np01 = norm / denom
+            return norm / denom
+
+        @jax.jit
+        def stage_forward(params, np01):
             logits = sliding_window_inference(
                 self.apply_fn, params, np01, roi=self.roi,
                 sw_batch=self.sw_batch, overlap=self.overlap,
                 out_channels=self.num_class, mode=self.mode,
             )
             probs = jax.nn.softmax(logits, axis=-1)
-            interior = probs[..., 1]
+            return probs[..., 1]
+
+        @jax.jit
+        def stage_decode(interior, true_h, true_w):
             rows = jnp.arange(ph)[:, None]
             cols = jnp.arange(pw)[None, :]
             valid = (rows < true_h) & (cols < true_w)
             interior = jnp.where(valid, interior, 0.0)
             labels = decode_interior_prob(interior)
-            # uint16 halves the D2H transfer; cell counts are far below 65k
-            return labels.astype(jnp.uint16), interior
+            # uint16 halves the D2H transfer; cell counts stay below 65k
+            return labels.astype(jnp.uint16)
+
+        def run(params, padded_u8, true_h, true_w):
+            np01 = stage_norm(padded_u8)
+            interior = stage_forward(params, np01)
+            labels = stage_decode(interior, true_h, true_w)
+            return labels, interior
 
         self._jitted[key] = run
         return run
