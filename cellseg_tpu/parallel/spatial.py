@@ -1,0 +1,323 @@
+"""Spatially-sharded whole-slide inference (gigapixel, multi-chip).
+
+BASELINE.json config #5: shard one huge slide's tile grid across a TPU
+slice. The image is split into row stripes over a "spatial" mesh axis
+(shard_map); every stage exchanges only narrow halos over ICI:
+
+  forward   — each chip runs the tile grid over its stripe; tile outputs
+              that overlap the next stripe are sent with one ppermute and
+              added into the neighbor's accumulator (exact blending parity
+              with the single-chip engine on the same padded canvas);
+  filters   — remove_small_holes/objects decisions are provably local
+              given a halo ≥ the area threshold (a component with area <
+              T fits in a T-diameter box, so any component intersecting
+              the owned stripe lies fully inside stripe+halo; components
+              touching the halo edge are ≥ T by construction and keep
+              their skimage fate);
+  labeling  — global connected components with per-iteration 1-row halo
+              exchange of label rows; labels are global raster indices, so
+              the final map is exact up to a host-side sequential relabel
+              (order-preserving, one linear pass).
+
+Everything runs under jax.sharding.Mesh + shard_map; the same code executes
+on a virtual CPU mesh in tests and on real ICI-connected chips.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.cc import _INF, _segmented_min_scan, _sweep_min
+
+AXIS = "spatial"
+
+
+def _perm(n: int, up: bool):
+    """ppermute pairs: up=True sends shard i → i+1 (toward larger row idx)."""
+    if up:
+        return [(i, i + 1) for i in range(n - 1)]
+    return [(i + 1, i) for i in range(n - 1)]
+
+
+def pad_for_mesh(h: int, w: int, n_dev: int, roi: int, stride: int,
+                 min_stripe: int = 64):
+    """Padded canvas: uniform tile grid + equal stripes per device.
+
+    min_stripe must cover the decode filter halo (64 px: the larger of the
+    hole-fill / small-object area thresholds) so halo-local filter
+    decisions stay exact.
+    """
+    def pad_axis(size):
+        size = max(size, roi)
+        return size + (-(size - roi)) % stride
+
+    w_pad = pad_axis(w)
+    # stripe must be a positive multiple of stride; total H = n * stripe
+    h_min = pad_axis(h)
+    stripe = max(roi, min_stripe, -(-h_min // n_dev))
+    stripe = stripe + (-stripe) % stride
+    return n_dev * stripe, w_pad, stripe
+
+
+def spatial_sliding_window(apply_fn, params, image, mesh: Mesh,
+                           roi: int = 256, sw_batch: int = 8,
+                           overlap: float = 0.25, out_channels: int = 3):
+    """(H_pad, W_pad, C) sharded forward → (H_pad, W_pad, out_channels).
+
+    image must already be padded via pad_for_mesh and placed with
+    PartitionSpec(AXIS, None, None).
+    """
+    n_dev = mesh.shape[AXIS]
+    stride = int(roi * (1.0 - overlap))
+    h_pad, w_pad = image.shape[0], image.shape[1]
+    stripe = h_pad // n_dev
+    halo = roi - stride
+    ys_local = np.arange(0, stripe, stride, dtype=np.int32)
+    xs = np.arange(0, w_pad - roi + 1, stride, dtype=np.int32)
+    grid = np.stack(np.meshgrid(ys_local, xs, indexing="ij"), -1).reshape(-1, 2)
+    rem = (-len(grid)) % sw_batch
+    weights = np.ones(len(grid), np.float32)
+    if rem:
+        grid = np.concatenate([grid, np.repeat(grid[-1:], rem, 0)])
+        weights = np.concatenate([weights, np.zeros(rem, np.float32)])
+    grid_j = jnp.asarray(grid.reshape(-1, sw_batch, 2))
+    weights_j = jnp.asarray(weights.reshape(-1, sw_batch))
+
+    def shard_fn(params, stripe_img):
+        stripe_img = stripe_img.reshape(stripe, w_pad, -1)
+        c_in = stripe_img.shape[-1]
+        # bottom image halo from the next shard (last shard: zeros == pad)
+        top_rows = jax.lax.ppermute(
+            stripe_img[:halo], AXIS, _perm(n_dev, up=False)
+        )
+        ext = jnp.concatenate([stripe_img, top_rows], axis=0)
+
+        acc = jnp.zeros((stripe + halo, w_pad, out_channels), jnp.float32)
+        cnt = jnp.zeros((stripe + halo, w_pad, 1), jnp.float32)
+
+        def gather_tile(origin):
+            return jax.lax.dynamic_slice(
+                ext, (origin[0], origin[1], 0), (roi, roi, c_in)
+            )
+
+        def body(carry, batch):
+            acc, cnt = carry
+            orgs, wts = batch
+            tiles = jax.vmap(gather_tile)(orgs)
+            logits = apply_fn(params, tiles).astype(jnp.float32)
+
+            def scatter_one(i, carry):
+                acc, cnt = carry
+                y, x = orgs[i, 0], orgs[i, 1]
+                w = wts[i]
+                patch = jax.lax.dynamic_slice(
+                    acc, (y, x, 0), (roi, roi, out_channels))
+                acc = jax.lax.dynamic_update_slice(
+                    acc, patch + logits[i] * w, (y, x, 0))
+                cpatch = jax.lax.dynamic_slice(cnt, (y, x, 0), (roi, roi, 1))
+                cnt = jax.lax.dynamic_update_slice(
+                    cnt, cpatch + w, (y, x, 0))
+                return acc, cnt
+
+            acc, cnt = jax.lax.fori_loop(0, sw_batch, scatter_one, (acc, cnt))
+            return (acc, cnt), None
+
+        (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), (grid_j, weights_j))
+
+        # ship the overflow rows to the next shard's top
+        inc_acc = jax.lax.ppermute(acc[stripe:], AXIS, _perm(n_dev, up=True))
+        inc_cnt = jax.lax.ppermute(cnt[stripe:], AXIS, _perm(n_dev, up=True))
+        acc = acc.at[:halo].add(inc_acc)
+        cnt = cnt.at[:halo].add(inc_cnt)
+        return acc[:stripe] / jnp.maximum(cnt[:stripe], 1e-8)
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(AXIS, None, None)),
+        out_specs=P(AXIS, None, None),
+        check_rep=False,
+    )
+    return fn(params, image)
+
+
+def _filter_local(mask_ext: jax.Array, threshold: int, connectivity: int,
+                  halo: int, stripe: int):
+    """Area-filter decisions for the owned rows of an extended stripe.
+
+    Components touching the ext edge are treated as area ≥ threshold
+    (provably correct for owned-row pixels when halo ≥ threshold).
+    Returns keep-mask for the owned rows [halo, halo+stripe).
+    """
+    from ..ops.cc import _root_labels
+
+    he, w = mask_ext.shape
+    roots = _root_labels(mask_ext, connectivity).ravel()
+    n = he * w
+    safe = jnp.where(roots == _INF, 0, roots)
+    areas = jnp.zeros((n,), jnp.int32).at[safe].add(
+        mask_ext.ravel().astype(jnp.int32))
+    # mark components touching the top/bottom ext edge as "big"
+    edge = jnp.zeros((he, w), jnp.bool_).at[0, :].set(True).at[-1, :].set(True)
+    edge_i = jnp.logical_and(edge.ravel(), mask_ext.ravel()).astype(jnp.int32)
+    edge_flag = jnp.zeros((n,), jnp.int32).at[safe].max(edge_i)
+    big = jnp.logical_or(areas[safe] >= threshold, edge_flag[safe] > 0)
+    keep = jnp.logical_and(mask_ext.ravel(), big).reshape(he, w)
+    return keep[halo:halo + stripe]
+
+
+def spatial_decode_mask(interior_prob, mesh: Mesh, threshold: float = 0.5,
+                        hole_area: int = 64, min_size: int = 16):
+    """Sharded hole-filling + small-object removal (halo-local, exact)."""
+    n_dev = mesh.shape[AXIS]
+    h_pad, w_pad = interior_prob.shape
+    stripe = h_pad // n_dev
+    halo = max(hole_area, min_size)  # 64 covers both thresholds
+    if stripe < halo:
+        raise ValueError(
+            f"stripe {stripe} < filter halo {halo}; pad with "
+            f"pad_for_mesh(min_stripe={halo})"
+        )
+
+    def shard_fn(prob_stripe):
+        prob_stripe = prob_stripe.reshape(stripe, w_pad)
+        mask = prob_stripe > threshold
+
+        def with_halo(m):
+            top = jax.lax.ppermute(m[-halo:], AXIS, _perm(n_dev, up=True))
+            bot = jax.lax.ppermute(m[:halo], AXIS, _perm(n_dev, up=False))
+            return jnp.concatenate([top, m, bot], axis=0)
+
+        # hole filling: filter small background components
+        inv_ext = jnp.logical_not(with_halo(mask))
+        # ghost rows for edge shards arrive as zeros → True after inversion,
+        # which would fabricate background; force them to False there.
+        idx = jax.lax.axis_index(AXIS)
+        row = jnp.arange(stripe + 2 * halo)[:, None]
+        fake_top = jnp.logical_and(idx == 0, row < halo)
+        fake_bot = jnp.logical_and(idx == n_dev - 1,
+                                   row >= stripe + halo)
+        inv_ext = jnp.where(jnp.logical_or(fake_top, fake_bot),
+                            False, inv_ext)
+        # keep_bg True = background component kept (area ≥ 64 or reaches
+        # beyond the halo); holes = background NOT kept → fill them
+        keep_bg = _filter_local(inv_ext, hole_area, 1, halo, stripe)
+        filled = jnp.logical_or(mask, jnp.logical_and(
+            jnp.logical_not(mask), jnp.logical_not(keep_bg)))
+
+        # small-object removal on the filled mask
+        filled_ext = with_halo(filled)
+        keep_fg = _filter_local(filled_ext, min_size, 1, halo, stripe)
+        return keep_fg
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(AXIS, None),),
+        out_specs=P(AXIS, None),
+        check_rep=False,
+    )
+    return fn(interior_prob)
+
+
+def spatial_label_components(mask, mesh: Mesh, connectivity: int = 2,
+                             max_iters: int = 4096):
+    """Global connected components over a sharded mask.
+
+    Returns labels as GLOBAL raster root indices (+1, 0 = background) —
+    unique per component and raster-ordered, but not sequential; callers
+    relabel sequentially on host (order-preserving).
+    """
+    n_dev = mesh.shape[AXIS]
+    h_pad, w_pad = mask.shape
+    stripe = h_pad // n_dev
+
+    def shard_fn(m):
+        m = m.reshape(stripe, w_pad)
+        idx = jax.lax.axis_index(AXIS)
+        offset = (idx * stripe * w_pad).astype(jnp.int32)
+        lin = jnp.arange(stripe * w_pad, dtype=jnp.int32).reshape(
+            stripe, w_pad) + offset
+        lab = jnp.where(m, lin, _INF)
+
+        def cond(state):
+            _, changed, it = state
+            return jnp.logical_and(changed, it < max_iters)
+
+        def body(state):
+            lab, _, it = state
+            new = lab
+            for _ in range(2):
+                new = _sweep_min(new, m, connectivity)
+            new = _segmented_min_scan(new, m, axis=1)
+            new = _segmented_min_scan(new, m, axis=0)
+            # halo exchange: absorb neighbor boundary rows
+            top_ghost = jax.lax.ppermute(
+                new[-1:], AXIS, _perm(n_dev, up=True))
+            top_ghost = jnp.where(
+                jax.lax.axis_index(AXIS) == 0, _INF, top_ghost)
+            bot_ghost = jax.lax.ppermute(
+                new[:1], AXIS, _perm(n_dev, up=False))
+            bot_ghost = jnp.where(
+                jax.lax.axis_index(AXIS) == n_dev - 1, _INF, bot_ghost)
+            ext = jnp.concatenate([top_ghost, new, bot_ghost], axis=0)
+            swept = _sweep_min(
+                ext, jnp.concatenate(
+                    [jnp.ones((1, w_pad), jnp.bool_), m,
+                     jnp.ones((1, w_pad), jnp.bool_)], axis=0),
+                connectivity,
+            )[1:-1]
+            new = jnp.where(m, jnp.minimum(new, swept), _INF)
+            changed_local = jnp.any(new != lab)
+            changed = jax.lax.pmax(changed_local, AXIS)
+            return new, changed, it + 1
+
+        lab, _, _ = jax.lax.while_loop(
+            cond, body, (lab, jnp.bool_(True), jnp.int32(0)))
+        return jnp.where(m, lab + 1, 0)
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(AXIS, None),),
+        out_specs=P(AXIS, None),
+        check_rep=False,
+    )
+    return fn(mask)
+
+
+def spatial_predict(apply_fn, params, image: np.ndarray, mesh: Mesh,
+                    roi: int = 256, sw_batch: int = 8, overlap: float = 0.25,
+                    num_class: int = 3) -> np.ndarray:
+    """Full sharded pipeline: float image (H, W, C) → instance labels.
+
+    Host does the final order-preserving sequential relabel.
+    """
+    from ..metrics import relabel_sequential
+
+    n_dev = mesh.shape[AXIS]
+    h, w = image.shape[:2]
+    stride = int(roi * (1 - overlap))
+    h_pad, w_pad, _ = pad_for_mesh(h, w, n_dev, roi, stride)
+    padded = np.zeros((h_pad, w_pad, image.shape[2]), np.float32)
+    padded[:h, :w] = image
+    sharding = NamedSharding(mesh, P(AXIS, None, None))
+    dimg = jax.device_put(jnp.asarray(padded), sharding)
+
+    logits = spatial_sliding_window(
+        apply_fn, params, dimg, mesh, roi=roi, sw_batch=sw_batch,
+        overlap=overlap, out_channels=num_class)
+    probs = jax.nn.softmax(logits, axis=-1)
+    interior = probs[..., 1]
+    # zero out canvas padding so fake instances can't appear there
+    rows = jnp.arange(h_pad)[:, None] < h
+    cols = jnp.arange(w_pad)[None, :] < w
+    interior = jnp.where(jnp.logical_and(rows, cols), interior, 0.0)
+
+    mask = spatial_decode_mask(interior, mesh)
+    labels = spatial_label_components(mask, mesh)
+    host = np.asarray(jax.device_get(labels))[:h, :w]
+    return relabel_sequential(host)
