@@ -1,0 +1,78 @@
+"""CLI: distance-pipeline inference (KIT-GE `infer_neurips.py` capability).
+
+Flags mirror the reference (infer_neurips.py:18-40 / infer.py:21-36):
+th_cell / th_seed seeds+mask thresholds, scale, CLAHE, artifact
+correction, merge post-processing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from ..io import imread, imwrite_instance_tiff, list_images
+from ..train.checkpoint import load_model_for_inference
+
+join = os.path.join
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("Distance-pipeline inference")
+    parser.add_argument("-i", "--input_path", required=True, type=str)
+    parser.add_argument("-o", "--output_path", required=True, type=str)
+    parser.add_argument("--model_path", required=True, type=str,
+                        help="checkpoint dir with config.json sidecar")
+    parser.add_argument("--checkpoint", default="best_model.ckpt")
+    parser.add_argument("--th_cell", default=0.07, type=float)
+    parser.add_argument("--th_seed", default=0.45, type=float)
+    parser.add_argument("--scale", default=1.0, type=float)
+    parser.add_argument("--apply_clahe", action="store_true")
+    parser.add_argument("--artifact_correction", action="store_true")
+    parser.add_argument("--apply_merging", action="store_true")
+    parser.add_argument("--cell_type", default="", type=str,
+                        help="CTC cell type for FOI correction")
+    args = parser.parse_args(argv)
+
+    os.makedirs(args.output_path, exist_ok=True)
+    from ..decode.distance import foi_correction
+    from ..infer.distance_infer import (
+        DistancePredictor,
+        apply_merging,
+        artifact_correction,
+    )
+
+    model, params, cfg = load_model_for_inference(
+        args.model_path, args.checkpoint)
+    predictor = DistancePredictor(
+        lambda p, x: model.apply(p, x), params,
+        th_cell=args.th_cell, th_seed=args.th_seed,
+        use_clahe=args.apply_clahe, scale=args.scale,
+    )
+
+    results = {}
+    for name in list_images(args.input_path):
+        img = np.asarray(imread(join(args.input_path, name)))
+        t0 = time.time()
+        labels = predictor.predict(img)
+        if args.apply_merging:
+            labels = apply_merging(labels, predictor.last_border)
+        if args.cell_type:
+            labels = foi_correction(labels, args.cell_type)
+        results[name] = labels
+        print(f"inferred {name}: {labels.max()} cells, "
+              f"{time.time() - t0:.2f}s")
+
+    if args.artifact_correction:
+        results = artifact_correction(results)
+
+    for name, labels in results.items():
+        stem = name.split(".")[0]
+        imwrite_instance_tiff(join(args.output_path, stem + "_label.tiff"),
+                              labels)
+
+
+if __name__ == "__main__":
+    main()

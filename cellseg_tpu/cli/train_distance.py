@@ -1,0 +1,69 @@
+"""CLI: distance-regression training (KIT-GE `train.py` capability).
+
+Builds the distance training set from NeurIPS-format data if needed, then
+trains the dual-decoder DUNet (flags mirror KIT-GE train.py:27-43).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from ..train.distance_data import create_distance_training_set
+from ..train.distance_loop import DistanceTrainConfig, train_distance
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("Distance-regression training")
+    parser.add_argument("--data_path", type=str, required=True,
+                        help="raw data (images/ + labels/) OR a prepared "
+                             "trainset dir (train/ + val/)")
+    parser.add_argument("--work_dir", default="./work_dir", type=str)
+    parser.add_argument("--trainset_dir", default=None, type=str,
+                        help="where to build/cache the crop trainset")
+    parser.add_argument("--crop_size", default=320, type=int)
+    parser.add_argument("--batch_size", default=8, type=int)
+    parser.add_argument("--loss", default="smooth_l1",
+                        choices=["smooth_l1", "l1", "mse"])
+    parser.add_argument("--optimizer", default="adam",
+                        choices=["adam", "ranger"])
+    parser.add_argument("--learning_rate", default=8e-4, type=float)
+    parser.add_argument("--iterations", default=1, type=int,
+                        help="independent training runs (KIT-GE --iterations)")
+    parser.add_argument("--max_epochs", default=None, type=int)
+    parser.add_argument("--seed", default=2022, type=int)
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"])
+    args = parser.parse_args(argv)
+
+    data = args.data_path
+    if os.path.isdir(os.path.join(data, "images")):
+        trainset = args.trainset_dir or os.path.join(args.work_dir,
+                                                     "distance_trainset")
+        if not os.path.isdir(os.path.join(trainset, "train")):
+            print(f"building distance trainset in {trainset}")
+            info = create_distance_training_set(
+                data, trainset, crop_size=args.crop_size, seed=args.seed)
+            print("trainset:", info)
+        data = trainset
+
+    for it in range(args.iterations):
+        cfg = DistanceTrainConfig(
+            data_path=data,
+            work_dir=args.work_dir if args.iterations == 1
+            else os.path.join(args.work_dir, f"run{it}"),
+            loss=args.loss,
+            optimizer=args.optimizer,
+            batch_size=args.batch_size,
+            learning_rate=args.learning_rate,
+            max_epochs=args.max_epochs,
+            seed=args.seed + it,
+            dtype=args.dtype,
+        )
+        res = train_distance(cfg)
+        print(f"run {it}: best val loss {res['best_val_loss']:.5f} "
+              f"({res['epochs_run']} epochs, {res['wall_seconds']:.0f}s)")
+
+
+if __name__ == "__main__":
+    main()

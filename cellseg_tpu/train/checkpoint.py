@@ -73,11 +73,14 @@ def load_model_for_inference(model_dir: str, checkpoint: str = "best_model.ckpt"
     from ..models import build_model
 
     cfg = load_sidecar(model_dir)
+    arch = {k: tuple(v) if isinstance(v, list) else v
+            for k, v in cfg.get("architecture", {}).items()}
     model = build_model(
         cfg["model_name"],
         num_class=cfg.get("num_class", 3),
         input_size=cfg.get("input_size", 256),
         dtype=jnp.bfloat16 if cfg.get("dtype") == "bfloat16" else jnp.float32,
+        **arch,
     )
     payload = load_checkpoint(os.path.join(model_dir, checkpoint))
     # initialize a template to restore against

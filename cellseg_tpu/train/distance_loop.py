@@ -1,0 +1,192 @@
+"""Dual-head distance-regression training loop (KIT-GE capability).
+
+Behavioral parity with the reference trainer
+(KIT-GE segmentation/training/training.py:60-273): SmoothL1(border) +
+SmoothL1(cell) loss, Adam(amsgrad)+ReduceLROnPlateau or Ranger with a
+cosine fine-tune second phase (train.py:179-193), dataset-size-scaled
+epoch budget, best-val-loss checkpointing with a JSON sidecar, early break
+when the LR floor is reached.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import build_model
+from .checkpoint import save_checkpoint, save_sidecar
+from .distance_data import DistanceCropDataset, get_max_epochs
+from .losses import dual_distance_loss
+from .optim import ReduceLROnPlateau, cosine_finetune_schedule, ranger
+from .steps import TrainState
+
+join = os.path.join
+
+
+@dataclasses.dataclass
+class DistanceTrainConfig:
+    data_path: str = "./trainset"
+    work_dir: str = "./work_dir"
+    model_name: str = "dunet"
+    channels: tuple = (64, 128, 256, 512, 1024)
+    loss: str = "smooth_l1"
+    optimizer: str = "adam"  # adam | ranger
+    batch_size: int = 8
+    learning_rate: float = 8e-4  # reference: adam 8e-4, ranger 6e-3
+    max_epochs: int | None = None
+    seed: int = 2022
+    dtype: str = "float32"
+    break_condition: int = 2  # consecutive LR-floor epochs before break
+
+
+def _make_step(apply_fn, tx, loss_kind):
+    def step(state: TrainState, imgs, border_gt, cell_gt, lr_scale):
+        def loss_fn(params):
+            border, cell = apply_fn(params, imgs)
+            return dual_distance_loss(border, cell, border_gt, cell_gt,
+                                      kind=loss_kind)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grads = jax.tree.map(lambda g: g * lr_scale, grads)
+        return state.apply_gradients(grads), loss
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def _eval_loss(apply_fn, loss_kind):
+    @jax.jit
+    def f(params, imgs, border_gt, cell_gt):
+        border, cell = apply_fn(params, imgs)
+        return dual_distance_loss(border, cell, border_gt, cell_gt,
+                                  kind=loss_kind)
+
+    return f
+
+
+def train_distance(cfg: DistanceTrainConfig) -> dict:
+    model_dir = join(cfg.work_dir, f"{cfg.model_name}_distance")
+    os.makedirs(model_dir, exist_ok=True)
+
+    train_ds = DistanceCropDataset(cfg.data_path, "train", seed=cfg.seed)
+    val_ds = DistanceCropDataset(cfg.data_path, "val", seed=cfg.seed)
+    max_epochs = cfg.max_epochs or get_max_epochs(len(train_ds))
+    print(f"distance train: {len(train_ds)} train / {len(val_ds)} val crops, "
+          f"max {max_epochs} epochs")
+
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    model = build_model(cfg.model_name, dtype=dtype, channels=cfg.channels)
+    # infer crop size from the data
+    sample = train_ds.items[0][0]
+    crop = sample.shape[0]
+    rng = jax.random.PRNGKey(cfg.seed)
+    params = model.init(rng, jnp.zeros((1, crop, crop, 1), jnp.float32))
+
+    lr = cfg.learning_rate if cfg.optimizer == "adam" else 6e-3
+    if cfg.optimizer == "ranger":
+        tx = ranger(learning_rate=lr)
+    else:
+        tx = optax.chain(optax.scale_by_amsgrad(), optax.scale(-lr))
+    apply_fn = lambda p, x: model.apply(p, x)
+    state = TrainState.create(lambda p, x, train=False: model.apply(p, x),
+                              params, tx)
+
+    step_fn = _make_step(apply_fn, tx, cfg.loss)
+    eval_fn = _eval_loss(apply_fn, cfg.loss)
+    plateau = ReduceLROnPlateau(factor=0.25, patience=8,
+                                min_lr_scale=6e-5 / lr)
+
+    save_sidecar(model_dir, {
+        "model_name": cfg.model_name,
+        "architecture": {"channels": list(cfg.channels)},
+        "num_class": 1,
+        "input_size": crop,
+        "in_channels": 1,
+        "dtype": cfg.dtype,
+        "loss": cfg.loss,
+        "optimizer": cfg.optimizer,
+        "framework": "cellseg_tpu",
+    })
+
+    best_val = float("inf")
+    floor_epochs = 0
+    history = {"train": [], "val": []}
+    t0 = time.time()
+    epoch = 0
+    for epoch in range(1, max_epochs + 1):
+        scale = plateau.scale
+        losses = []
+        for imgs, neigh, cell in train_ds.batches(cfg.batch_size):
+            state, loss = step_fn(state, jnp.asarray(imgs),
+                                  jnp.asarray(neigh), jnp.asarray(cell),
+                                  jnp.float32(scale))
+            losses.append(loss)
+        train_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+
+        val_losses = [
+            float(eval_fn(state.params, jnp.asarray(i), jnp.asarray(n),
+                          jnp.asarray(c)))
+            for i, n, c in val_ds.batches(cfg.batch_size, shuffle=False)
+        ]
+        val_loss = float(np.mean(val_losses)) if val_losses else train_loss
+        history["train"].append(train_loss)
+        history["val"].append(val_loss)
+        print(f"epoch {epoch}: train {train_loss:.5f} val {val_loss:.5f} "
+              f"lr_scale {scale:.4f}")
+
+        if val_loss < best_val:
+            best_val = val_loss
+            save_checkpoint(join(model_dir, "best_model.ckpt"),
+                            state.params, step=epoch, epoch=epoch)
+        plateau.step(val_loss)
+        if plateau.scale <= plateau.min_lr_scale * 1.0001:
+            floor_epochs += 1
+            if floor_epochs >= cfg.break_condition:
+                print(f"LR floor reached; early break at epoch {epoch}")
+                break
+        else:
+            floor_epochs = 0
+
+    # Ranger second phase: cosine fine-tune at 0.09 lr from the best model
+    if cfg.optimizer == "ranger":
+        from .checkpoint import restore_params
+
+        best_params, _ = restore_params(
+            join(model_dir, "best_model.ckpt"), state.params)
+        ft_epochs = max_epochs // 10 + 1
+        n_batches = max(1, len(train_ds) // cfg.batch_size)
+        sched = cosine_finetune_schedule(0.09 * lr, ft_epochs * n_batches)
+        tx2 = ranger(learning_rate=sched)
+        state = TrainState.create(state.apply_fn, best_params, tx2)
+        step2 = _make_step(apply_fn, tx2, cfg.loss)
+        for e in range(ft_epochs):
+            for imgs, neigh, cell in train_ds.batches(cfg.batch_size):
+                state, loss = step2(state, jnp.asarray(imgs),
+                                    jnp.asarray(neigh), jnp.asarray(cell),
+                                    jnp.float32(1.0))
+            val_losses = [
+                float(eval_fn(state.params, jnp.asarray(i), jnp.asarray(n),
+                              jnp.asarray(c)))
+                for i, n, c in val_ds.batches(cfg.batch_size, shuffle=False)
+            ]
+            val_loss = float(np.mean(val_losses)) if val_losses else 0.0
+            print(f"finetune epoch {e + 1}: val {val_loss:.5f}")
+            if val_loss < best_val:
+                best_val = val_loss
+                save_checkpoint(join(model_dir, "best_model.ckpt"),
+                                state.params, step=epoch + e, epoch=epoch + e)
+
+    np.savez_compressed(join(model_dir, "loss_history.npz"),
+                        train=np.asarray(history["train"]),
+                        val=np.asarray(history["val"]))
+    return {
+        "best_val_loss": best_val,
+        "epochs_run": epoch,
+        "model_path": model_dir,
+        "wall_seconds": time.time() - t0,
+    }
