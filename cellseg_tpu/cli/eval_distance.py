@@ -1,0 +1,83 @@
+"""CLI: distance-pipeline evaluation sweeper (KIT-GE `eval.py` capability).
+
+Grid-sweeps th_seed × th_cell over a labeled set, scores each setting with
+CTC SEG/DET/OP_CSB (reference eval.py:140-243), appends to metrics.csv
+with dedup (:246-256), and reports the best setting (utils.get_best_model).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pandas as pd
+
+from ..io import imread, list_images
+from ..metrics.ctc import ctc_scores
+from ..train.checkpoint import load_model_for_inference
+
+join = os.path.join
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("Distance-pipeline threshold sweep")
+    parser.add_argument("--data_path", required=True, type=str,
+                        help="dir with images/ and labels/")
+    parser.add_argument("--model_path", required=True, type=str)
+    parser.add_argument("--checkpoint", default="best_model.ckpt")
+    parser.add_argument("--th_seed", nargs="+", type=float,
+                        default=[0.35, 0.45])
+    parser.add_argument("--th_cell", nargs="+", type=float, default=[0.07])
+    parser.add_argument("--apply_clahe", action="store_true")
+    parser.add_argument("--scale", default=1.0, type=float)
+    parser.add_argument("-o", "--output_path", default="./", type=str)
+    args = parser.parse_args(argv)
+
+    from ..infer.distance_infer import DistancePredictor
+
+    model, params, _ = load_model_for_inference(args.model_path,
+                                                args.checkpoint)
+    img_dir = join(args.data_path, "images")
+    lbl_dir = join(args.data_path, "labels")
+    names = list_images(img_dir)
+
+    rows = []
+    for th_seed in args.th_seed:
+        for th_cell in args.th_cell:
+            pred = DistancePredictor(
+                lambda p, x: model.apply(p, x), params,
+                th_cell=th_cell, th_seed=th_seed,
+                use_clahe=args.apply_clahe, scale=args.scale,
+            )
+            segs, dets = [], []
+            for name in names:
+                img = np.asarray(imread(join(img_dir, name)))
+                stem = name.split(".")[0]
+                gt = np.asarray(imread(join(lbl_dir, stem + "_label.tiff")))
+                labels = pred.predict(img)
+                s = ctc_scores(gt.astype(np.int64), labels.astype(np.int64))
+                segs.append(s["SEG"])
+                dets.append(s["DET"])
+            seg, det = float(np.mean(segs)), float(np.mean(dets))
+            rows.append({
+                "model": args.model_path, "th_seed": th_seed,
+                "th_cell": th_cell, "SEG": round(seg, 4),
+                "DET": round(det, 4), "OP_CSB": round((seg + det) / 2, 4),
+            })
+            print(rows[-1])
+
+    df = pd.DataFrame(rows)
+    csv_path = join(args.output_path, "metrics.csv")
+    if os.path.exists(csv_path):
+        old = pd.read_csv(csv_path)
+        df = pd.concat([old, df]).drop_duplicates(
+            subset=["model", "th_seed", "th_cell"], keep="last")
+    df.to_csv(csv_path, index=False)
+    best = df.loc[df["OP_CSB"].idxmax()]
+    print(f"best: th_seed={best['th_seed']} th_cell={best['th_cell']} "
+          f"OP_CSB={best['OP_CSB']}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""CTC SEG / DET measures (native reimplementation).
+
+The reference shells out to the Cell Tracking Challenge's precompiled
+SEGMeasure/DETMeasure binaries (KIT-GE segmentation/utils/metrics.py:41-66).
+Those are reimplemented here natively for single frames (2D images):
+
+  SEG — for every GT object, the predicted object covering > 50% of its
+        pixels (the CTC matching rule) contributes its Jaccard index;
+        unmatched GT objects contribute 0; SEG = mean over GT objects.
+  DET — AOGM-D: weighted error count with the CTC weights (false negative
+        10, false positive 1, split 5 when one predicted object covers
+        >50% of k>1 GT objects), normalized by the cost of building the
+        GT graph from scratch (10 per GT node):
+        DET = 1 − min(AOGM_D, AOGM_D0) / AOGM_D0.
+  OP_CSB = (SEG + DET) / 2 (reference eval.py:232).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .f1 import label_overlap
+
+
+def _matches(gt: np.ndarray, pred: np.ndarray):
+    """CTC >50%-coverage matching. Returns (overlap, gt_sizes, pred_match)
+    where pred_match[j] = list of GT ids whose majority pixel mass j covers."""
+    overlap = label_overlap(gt, pred)
+    gt_sizes = overlap.sum(axis=1)
+    return overlap, gt_sizes
+
+
+def seg_score(gt: np.ndarray, pred: np.ndarray) -> float:
+    """SEG: mean Jaccard over GT objects under the >50% matching rule."""
+    overlap, gt_sizes = _matches(gt, pred)
+    n_gt = overlap.shape[0] - 1
+    if n_gt <= 0:
+        return 0.0
+    pred_sizes = overlap.sum(axis=0)
+    scores = []
+    for g in range(1, overlap.shape[0]):
+        if gt_sizes[g] == 0:
+            continue
+        row = overlap[g, 1:]
+        j = int(np.argmax(row)) + 1 if row.size else 0
+        inter = overlap[g, j] if j > 0 else 0
+        if inter * 2 > gt_sizes[g]:  # strict majority rule
+            union = gt_sizes[g] + pred_sizes[j] - inter
+            scores.append(inter / union)
+        else:
+            scores.append(0.0)
+    return float(np.mean(scores)) if scores else 0.0
+
+
+def det_score(gt: np.ndarray, pred: np.ndarray,
+              w_fn: float = 10.0, w_fp: float = 1.0,
+              w_split: float = 5.0) -> float:
+    """DET: 1 − AOGM-D / AOGM-D0 for a single frame."""
+    overlap, gt_sizes = _matches(gt, pred)
+    n_gt = overlap.shape[0] - 1
+    n_pred = overlap.shape[1] - 1
+    if n_gt <= 0:
+        return 0.0
+
+    # gt_match[g] = pred id covering the majority of g (0 if none)
+    gt_match = np.zeros(n_gt + 1, dtype=np.int64)
+    for g in range(1, n_gt + 1):
+        if gt_sizes[g] == 0:
+            continue
+        row = overlap[g, 1:]
+        if row.size:
+            j = int(np.argmax(row)) + 1
+            if overlap[g, j] * 2 > gt_sizes[g]:
+                gt_match[g] = j
+
+    matched_gt = gt_match > 0
+    matched_gt[0] = False
+    fn = int(np.sum(~matched_gt[1:] & (gt_sizes[1:] > 0)))
+    used_preds, counts = np.unique(gt_match[gt_match > 0],
+                                   return_counts=True)
+    fp = n_pred - len(used_preds)
+    splits = int(np.sum(counts - 1))
+
+    aogm = w_fn * fn + w_fp * fp + w_split * splits
+    aogm0 = w_fn * int(np.sum(gt_sizes[1:] > 0))
+    if aogm0 == 0:
+        return 0.0
+    return float(1.0 - min(aogm, aogm0) / aogm0)
+
+
+def ctc_scores(gt: np.ndarray, pred: np.ndarray) -> dict:
+    s = seg_score(gt, pred)
+    d = det_score(gt, pred)
+    return {"SEG": s, "DET": d, "OP_CSB": (s + d) / 2.0}

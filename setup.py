@@ -24,6 +24,10 @@ setup(
             "model_training_3class=cellseg_tpu.cli.train:main",
             "predict=cellseg_tpu.cli.predict:main",
             "compute_metric=cellseg_tpu.cli.compute_metric:main",
+            "cellseg_train_distance=cellseg_tpu.cli.train_distance:main",
+            "cellseg_infer_distance=cellseg_tpu.cli.infer_distance:main",
+            "cellseg_eval_distance=cellseg_tpu.cli.eval_distance:main",
+            "cellseg_time_eval=cellseg_tpu.cli.time_eval:main",
         ],
     },
 )
