@@ -38,17 +38,24 @@ def main():
     dummy = jnp.zeros((1, 256, 256, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), dummy)
 
-    # Whole-slide surrogate: 2048x2048 RGB with smooth cell-scale structure
-    # so the instance-decode stage does realistic work.
+    # Whole-slide surrogate: 2048x2048 RGB with ~2000 disk-shaped cells on
+    # a noisy background — the decode stage (hole/object filters + CC)
+    # does realistic instance work.
     H = W = 2048
     rng = np.random.default_rng(0)
-    base = rng.random((H, W))
-    # cheap separable smoothing (box blur x3) to form blobs
-    for _ in range(3):
-        base = (np.roll(base, 3, 0) + base + np.roll(base, -3, 0)) / 3
-        base = (np.roll(base, 3, 1) + base + np.roll(base, -3, 1)) / 3
-    base = (base - base.min()) / (base.max() - base.min() + 1e-9)
-    img = np.stack([base * 180 + 20] * 3, -1).astype(np.uint8)
+    yy, xx = np.mgrid[0:H, 0:W]
+    img_f = rng.normal(30, 8, (H, W))
+    n_cells = 2000
+    cy = rng.integers(10, H - 10, n_cells)
+    cx = rng.integers(10, W - 10, n_cells)
+    r = rng.integers(6, 22, n_cells)
+    for i in range(n_cells):
+        y0, y1 = max(cy[i] - r[i], 0), min(cy[i] + r[i] + 1, H)
+        x0, x1 = max(cx[i] - r[i], 0), min(cx[i] + r[i] + 1, W)
+        d2 = (yy[y0:y1, x0:x1] - cy[i]) ** 2 + (xx[y0:y1, x0:x1] - cx[i]) ** 2
+        img_f[y0:y1, x0:x1] = np.maximum(
+            img_f[y0:y1, x0:x1], np.where(d2 <= r[i] ** 2, 180.0, 0.0))
+    img = np.stack([np.clip(img_f, 0, 255)] * 3, -1).astype(np.uint8)
 
     sw_batch = 16  # fill the MXU; reference uses 4 on GPU
     pred = Predictor(
