@@ -23,7 +23,13 @@ def label_overlap(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     Returns ``overlap[i, j]`` = number of pixels with label ``i`` in ``x``
     and label ``j`` in ``y``; shape ``(x.max()+1, y.max()+1)``.
     Parity with reference baseline/compute_metric.py:39-70 (numba loop).
+    Uses the native C++ histogram when built (cellseg_tpu.native), else a
+    vectorized bincount.
     """
+    from .. import native
+
+    if native.available():
+        return native.label_overlap(np.asarray(x), np.asarray(y))
     x = np.ravel(np.asarray(x))
     y = np.ravel(np.asarray(y))
     nx = int(x.max()) + 1 if x.size else 1
