@@ -65,12 +65,16 @@ def main():
 
     # compile + warmup
     pred.predict(img)
+    pred.predict(img)
 
-    n_iter = 5
-    t0 = time.perf_counter()
+    n_iter = 9
+    times = []
     for _ in range(n_iter):
+        t0 = time.perf_counter()
         out = pred.predict(img)
-    dt = (time.perf_counter() - t0) / n_iter
+        times.append(time.perf_counter() - t0)
+    # median resists transient contention on shared chips
+    dt = float(np.median(times))
     mp = H * W / 1e6
     mps = mp / dt
 

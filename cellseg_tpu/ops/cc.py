@@ -36,6 +36,18 @@ _INF_I = 2**31 - 1  # python int for pad fills / reduce_window init
 _INF = jnp.int32(_INF_I)
 
 
+def _fused_sweeps_ok(h: int, w: int) -> bool:
+    """Whether the Pallas fused-sweep kernel applies (TPU backend, shapes
+    compatible with the stripe tiling and VMEM budget)."""
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    if platform not in ("tpu", "axon"):
+        return False
+    return h % 128 == 0 and h >= 256 and w % 128 == 0 and w <= 8192
+
+
 def _sweep_min(lab: jax.Array, mask: jax.Array, connectivity: int) -> jax.Array:
     """One masked neighbor-min sweep via reduce_window (no gathers)."""
     if connectivity == 2:
@@ -87,6 +99,59 @@ def _segmented_min_scan(lab: jax.Array, mask: jax.Array, axis: int) -> jax.Array
     return jnp.where(mask, jnp.minimum(fv, bv), _INF)
 
 
+def _propagate(lab: jax.Array, mask: jax.Array, connectivity: int,
+               max_iters: int, cheap_iters: int = 12) -> jax.Array:
+    """Run label propagation to the exact fixed point.
+
+    Two phases: a cheap body (2 reduce_window sweeps + row/col segmented
+    scans) that converges compact cell masks in a handful of iterations,
+    then — only if still unconverged (labyrinthine masks, e.g. inverted
+    backgrounds for hole filling) — a heavy body whose 16 sweeps per
+    iteration run as one Pallas kernel pass (ops/pallas/sweeps.py),
+    tripling the corner-turning rate per HBM round trip.
+    """
+
+    def make_body(use_fused):
+        def body(state):
+            lab, _, it = state
+            new = lab
+            if use_fused:
+                from .pallas.sweeps import fused_sweeps
+
+                new = fused_sweeps(new, mask, k=16,
+                                   connectivity=connectivity)
+            else:
+                for _ in range(2):
+                    new = _sweep_min(new, mask, connectivity)
+            new = _segmented_min_scan(new, mask, axis=1)
+            new = _segmented_min_scan(new, mask, axis=0)
+            # final sweep so the fixed-point check certifies convergence of
+            # the plain neighbor relation (fixed point ⇒ all neighbors equal)
+            new = _sweep_min(new, mask, connectivity)
+            changed = jnp.any(new != lab)
+            return new, changed, it + 1
+
+        return body
+
+    h, w = mask.shape
+    phase1_cap = min(cheap_iters, max_iters)
+
+    def cond1(state):
+        _, changed, it = state
+        return jnp.logical_and(changed, it < phase1_cap)
+
+    state = jax.lax.while_loop(
+        cond1, make_body(False), (lab, jnp.bool_(True), jnp.int32(0)))
+
+    def cond2(s):
+        _, changed, it = s
+        return jnp.logical_and(changed, it < max_iters)
+
+    state = jax.lax.while_loop(
+        cond2, make_body(_fused_sweeps_ok(h, w)), state)
+    return state[0]
+
+
 @functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
 def label_components(mask: jax.Array, connectivity: int = 2,
                      max_iters: int = 1024) -> jax.Array:
@@ -99,27 +164,7 @@ def label_components(mask: jax.Array, connectivity: int = 2,
     n = h * w
     lin = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
     lab = jnp.where(mask, lin, _INF)
-
-    def cond(state):
-        _, changed, it = state
-        return jnp.logical_and(changed, it < max_iters)
-
-    def body(state):
-        lab, _, it = state
-        new = lab
-        for _ in range(2):
-            new = _sweep_min(new, mask, connectivity)
-        new = _segmented_min_scan(new, mask, axis=1)
-        new = _segmented_min_scan(new, mask, axis=0)
-        # final sweep so the fixed-point check certifies convergence of the
-        # plain neighbor relation (fixed point ⇒ all neighbors equal)
-        new = _sweep_min(new, mask, connectivity)
-        changed = jnp.any(new != lab)
-        return new, changed, it + 1
-
-    lab, _, _ = jax.lax.while_loop(
-        cond, body, (lab, jnp.bool_(True), jnp.int32(0))
-    )
+    lab = _propagate(lab, mask, connectivity, max_iters)
 
     # sequential ids in raster order of component roots (single gather)
     flat = lab.ravel()
@@ -139,25 +184,7 @@ def _root_labels(mask: jax.Array, connectivity: int = 1,
     lin = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
     lab = jnp.where(mask, lin, _INF)
 
-    def cond(state):
-        _, changed, it = state
-        return jnp.logical_and(changed, it < max_iters)
-
-    def body(state):
-        lab, _, it = state
-        new = lab
-        for _ in range(2):
-            new = _sweep_min(new, mask, connectivity)
-        new = _segmented_min_scan(new, mask, axis=1)
-        new = _segmented_min_scan(new, mask, axis=0)
-        new = _sweep_min(new, mask, connectivity)
-        changed = jnp.any(new != lab)
-        return new, changed, it + 1
-
-    lab, _, _ = jax.lax.while_loop(
-        cond, body, (lab, jnp.bool_(True), jnp.int32(0))
-    )
-    return lab
+    return _propagate(lab, mask, connectivity, max_iters)
 
 
 def _area_filter(mask: jax.Array, threshold: int, connectivity: int,
