@@ -89,10 +89,14 @@ class UNETR2D(nn.Module):
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
         fs = self.feature_size
+        # skip taps at quarter depths (3/6/9/12 for the reference's 12
+        # layers, unetr2d.py:161-167), scaled for other depths
+        n = self.num_layers
+        tap_ids = (max(n // 4, 1), max(n // 2, 2), max(3 * n // 4, 3), n)
         taps, (gh, gw) = ViT(
             hidden_size=self.hidden_size, mlp_dim=self.mlp_dim,
-            num_layers=self.num_layers, num_heads=self.num_heads,
-            patch_size=self.patch_size, taps=(3, 6, 9, self.num_layers),
+            num_layers=n, num_heads=self.num_heads,
+            patch_size=self.patch_size, taps=tap_ids,
             dtype=self.dtype, name="vit",
         )(x)
 
@@ -105,12 +109,12 @@ class UNETR2D(nn.Module):
                             dtype=self.dtype)(x)
         # progressive upsampling encoders from the transformer taps
         enc2 = PrUpBlock(fs * 2, num_layer=2, norm=self.norm, act=self.act,
-                         dtype=self.dtype)(grid(taps[3]))     # H/2
+                         dtype=self.dtype)(grid(taps[tap_ids[0]]))  # H/2
         enc3 = PrUpBlock(fs * 4, num_layer=1, norm=self.norm, act=self.act,
-                         dtype=self.dtype)(grid(taps[6]))     # H/4
+                         dtype=self.dtype)(grid(taps[tap_ids[1]]))  # H/4
         enc4 = PrUpBlock(fs * 8, num_layer=0, norm=self.norm, act=self.act,
-                         dtype=self.dtype)(grid(taps[9]))     # H/8
-        bottleneck = grid(taps[self.num_layers])               # H/16
+                         dtype=self.dtype)(grid(taps[tap_ids[2]]))  # H/8
+        bottleneck = grid(taps[n])                                  # H/16
 
         d4 = UpCatBlock(fs * 8, norm=self.norm, act=self.act,
                         dtype=self.dtype)(bottleneck, enc4)    # H/8

@@ -1,0 +1,88 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cellseg_tpu.pipeline.augment import (
+    AugmentConfig,
+    augment_batch,
+    augment_sample,
+    random_rot90,
+    random_zoom,
+    scale_intensity,
+    separable_gaussian_blur,
+)
+
+
+@pytest.fixture
+def sample(rng):
+    img = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    lbl = rng.integers(0, 3, (64, 64)).astype(np.int32)
+    return jnp.asarray(img), jnp.asarray(lbl)
+
+
+def test_scale_intensity():
+    x = jnp.asarray([[0.0, 5.0], [10.0, 2.5]])
+    s = scale_intensity(x)
+    assert float(s.min()) == 0.0 and float(s.max()) == 1.0
+
+
+def test_augment_shapes_and_dtypes(sample):
+    img, lbl = sample
+    out_img, out_lbl = augment_sample(jax.random.PRNGKey(0), img, lbl)
+    assert out_img.shape == (64, 64, 3) and out_img.dtype == jnp.float32
+    assert out_lbl.shape == (64, 64) and out_lbl.dtype == jnp.int32
+    assert set(np.unique(np.asarray(out_lbl))) <= {0, 1, 2}
+
+
+def test_augment_batch(sample):
+    img, lbl = sample
+    imgs = jnp.stack([img] * 4)
+    lbls = jnp.stack([lbl] * 4)
+    out_imgs, out_lbls = augment_batch(jax.random.PRNGKey(1), imgs, lbls)
+    assert out_imgs.shape == (4, 64, 64, 3)
+    # different PRNG per sample → augmented copies must differ
+    assert not np.allclose(np.asarray(out_imgs[0]), np.asarray(out_imgs[1]))
+
+
+def test_rot90_geometry(sample):
+    img, lbl = sample
+    # force rotation (prob=1); k is random but geometry must be a rot90
+    r_img, r_lbl = random_rot90(jax.random.PRNGKey(3), img.astype(jnp.float32),
+                                lbl, prob=1.0)
+    cands = [np.rot90(np.asarray(lbl), k) for k in range(4)]
+    assert any(np.array_equal(np.asarray(r_lbl), c) for c in cands)
+
+
+def test_zoom_keep_size(sample):
+    img, lbl = sample
+    z_img, z_lbl = random_zoom(jax.random.PRNGKey(4),
+                               img.astype(jnp.float32), lbl,
+                               prob=1.0, zoom_range=(1.4, 1.5))
+    assert z_img.shape == img.shape and z_lbl.shape == lbl.shape
+    # zoom-in: center pixel unchanged class distribution-wise; labels stay valid
+    assert set(np.unique(np.asarray(z_lbl))) <= {0, 1, 2}
+
+
+def test_gaussian_blur_matches_scipy(rng):
+    from scipy.ndimage import gaussian_filter
+
+    x = rng.random((32, 32, 1)).astype(np.float32)
+    got = np.asarray(separable_gaussian_blur(
+        jnp.asarray(x), jnp.float32(1.5), jnp.float32(1.5), radius=6))
+    want = gaussian_filter(x[..., 0], 1.5, truncate=4.0, mode="reflect")
+    # interior agreement (edge modes differ slightly: jnp reflect vs scipy)
+    assert np.allclose(got[8:-8, 8:-8, 0], want[8:-8, 8:-8], atol=2e-3)
+
+
+def test_augment_distributions():
+    """With prob=1 configs, intensity changes must actually apply."""
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.integers(10, 240, (64, 64, 3)).astype(np.uint8))
+    lbl = jnp.zeros((64, 64), jnp.int32)
+    cfg = AugmentConfig(prob_noise=1.0, prob_contrast=1.0, prob_smooth=1.0,
+                        prob_hist_shift=1.0, prob_zoom=0.0,
+                        prob_flip=0.0, prob_rot90=0.0)
+    base = np.asarray(scale_intensity(img.astype(jnp.float32)))
+    out, _ = augment_sample(jax.random.PRNGKey(6), img, lbl, cfg)
+    assert not np.allclose(np.asarray(out), base, atol=1e-3)
