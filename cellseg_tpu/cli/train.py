@@ -19,8 +19,8 @@ def main(argv=None):
     parser.add_argument("--work_dir", default="./work_dir",
                         help="path where to save models and logs")
     parser.add_argument("--seed", default=2022, type=int)
-    parser.add_argument("--resume", default=False,
-                        help="resume from checkpoint")
+    parser.add_argument("--resume", default=None, type=str,
+                        help="checkpoint path to resume from")
     parser.add_argument("--num_workers", default=4, type=int,
                         help="(accepted for ABI compat; prefetch is threaded)")
     parser.add_argument("--model_name", default="unet",
@@ -53,6 +53,7 @@ def main(argv=None):
         initial_lr=args.initial_lr,
         dtype=args.dtype,
         augment=not args.no_augment,
+        resume=args.resume,
     )
     train_3class(cfg)
 

@@ -54,6 +54,7 @@ class TrainConfig:
     n_devices: int | None = None
     dtype: str = "float32"
     augment: bool = True
+    resume: str | None = None  # checkpoint path to resume from
 
 
 def _foreground_dice(pred_onehot: np.ndarray, gt_onehot: np.ndarray) -> float:
@@ -116,6 +117,24 @@ def train_3class(cfg: TrainConfig) -> dict:
     apply_fn = lambda p, x, train=False: model.apply(p, x, train=train)
     state = TrainState.create(apply_fn, params, tx)
 
+    start_epoch = 1
+    if cfg.resume:
+        # first-class resume (the reference's was commented out,
+        # model_training_3class.py:64)
+        from flax import serialization
+
+        from .checkpoint import load_checkpoint
+
+        payload = load_checkpoint(cfg.resume)
+        params = serialization.from_state_dict(params, payload["params"])
+        state = state.replace(params=params)
+        if "opt_state" in payload:
+            opt_state = serialization.from_state_dict(
+                state.opt_state, payload["opt_state"])
+            state = state.replace(opt_state=opt_state)
+        start_epoch = int(payload.get("epoch", 0)) + 1
+        print(f"resumed from {cfg.resume} at epoch {start_epoch}")
+
     # use the largest device count that divides the global batch
     n_avail = cfg.n_devices or len(jax.devices())
     n_dev = max(d for d in range(1, n_avail + 1) if cfg.batch_size % d == 0)
@@ -151,7 +170,8 @@ def train_3class(cfg: TrainConfig) -> dict:
     global_step = 0
     t_start = time.time()
 
-    for epoch in range(1, cfg.max_epochs):
+    epoch = start_epoch
+    for epoch in range(start_epoch, cfg.max_epochs):
         losses = []
         gen = train_ds.epoch_batches(cfg.batch_size)
         for imgs, lbls in prefetch(gen):
