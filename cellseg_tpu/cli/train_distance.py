@@ -31,6 +31,8 @@ def main(argv=None):
     parser.add_argument("--iterations", default=1, type=int,
                         help="independent training runs (KIT-GE --iterations)")
     parser.add_argument("--max_epochs", default=None, type=int)
+    parser.add_argument("--pre_train", action="store_true",
+                        help="autoencoder-pretrain the encoder first")
     parser.add_argument("--seed", default=2022, type=int)
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"])
@@ -59,6 +61,7 @@ def main(argv=None):
             max_epochs=args.max_epochs,
             seed=args.seed + it,
             dtype=args.dtype,
+            pretrain=args.pre_train,
         )
         res = train_distance(cfg)
         print(f"run {it}: best val loss {res['best_val_loss']:.5f} "

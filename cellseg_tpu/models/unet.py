@@ -171,6 +171,47 @@ class DUNet(nn.Module):
         return border, cell
 
 
+class AutoUNet(nn.Module):
+    """Encoder-decoder WITHOUT skip connections, for unsupervised
+    reconstruction pretraining (KIT-GE AutoUNet,
+    segmentation/utils/unets.py:487-587). The encoder scope matches
+    UNetEncoder so pretrained weights transfer directly into DUNet/UNet.
+    """
+
+    channels: Sequence[int] = (64, 128, 256, 512, 1024)
+    strides: Sequence[int] = (2, 2, 2, 2)
+    num_res_units: int = 2
+    norm: str = "group"
+    act: str = "relu"
+    out_channels: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        bottom, _ = UNetEncoder(
+            channels=self.channels,
+            strides=self.strides,
+            num_res_units=self.num_res_units,
+            norm=self.norm,
+            act=self.act,
+            dtype=self.dtype,
+        )(x)
+        y = bottom
+        rev = list(self.channels[:-1])[::-1]
+        for i, feats in enumerate(rev):
+            stride = self.strides[len(rev) - 1 - i] \
+                if len(self.strides) > i else 2
+            y = nn.ConvTranspose(
+                feats, (3, 3), strides=(stride, stride), padding="SAME",
+                dtype=self.dtype,
+            )(y)
+            y = make_norm(self.norm)(feats)(y).astype(self.dtype)
+            y = Activation(kind=self.act, dtype=self.dtype)(y)
+        y = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(y)
+        return y.astype(jnp.float32)
+
+
 class FlowNet(nn.Module):
     """U-Net with a cellpose-style head: 2 flow channels + 1 cell logit.
 

@@ -43,10 +43,19 @@ class DistanceTrainConfig:
     seed: int = 2022
     dtype: str = "float32"
     break_condition: int = 2  # consecutive LR-floor epochs before break
+    augment: bool = True  # KIT-GE augmentors (on device)
+    pretrain: bool = False  # autoencoder-pretrain the encoder first
+    pretrain_epochs: int = 60
 
 
-def _make_step(apply_fn, tx, loss_kind):
-    def step(state: TrainState, imgs, border_gt, cell_gt, lr_scale):
+def _make_step(apply_fn, tx, loss_kind, augment: bool):
+    from ..pipeline.augment_distance import augment_distance_batch
+
+    def step(state: TrainState, imgs, border_gt, cell_gt, lr_scale, rng):
+        if augment:
+            imgs, border_gt, cell_gt = augment_distance_batch(
+                rng, imgs, border_gt, cell_gt)
+
         def loss_fn(params):
             border, cell = apply_fn(params, imgs)
             return dual_distance_loss(border, cell, border_gt, cell_gt,
@@ -87,6 +96,20 @@ def train_distance(cfg: DistanceTrainConfig) -> dict:
     rng = jax.random.PRNGKey(cfg.seed)
     params = model.init(rng, jnp.zeros((1, crop, crop, 1), jnp.float32))
 
+    if cfg.pretrain:
+        # KIT-GE --pre_train flow: autoencoder pretraining on the training
+        # crops, then encoder transfer (reference train.py:149-158)
+        from .pretrain import train_auto, transfer_encoder
+
+        imgs = [it[0].astype(np.float32) / 65535.0 * 2.0 - 1.0
+                for it in train_ds.items]
+        pre_params, _ = train_auto(
+            imgs, channels=tuple(cfg.channels), crop=min(crop, 320),
+            batch_size=cfg.batch_size, epochs=cfg.pretrain_epochs,
+            seed=cfg.seed, dtype=dtype)
+        params = transfer_encoder(pre_params, params)
+        print("encoder pretrained and transferred")
+
     lr = cfg.learning_rate if cfg.optimizer == "adam" else 6e-3
     if cfg.optimizer == "ranger":
         tx = ranger(learning_rate=lr)
@@ -96,7 +119,8 @@ def train_distance(cfg: DistanceTrainConfig) -> dict:
     state = TrainState.create(lambda p, x, train=False: model.apply(p, x),
                               params, tx)
 
-    step_fn = _make_step(apply_fn, tx, cfg.loss)
+    step_fn = _make_step(apply_fn, tx, cfg.loss, cfg.augment)
+    aug_rng = jax.random.PRNGKey(cfg.seed + 7)
     eval_fn = _eval_loss(apply_fn, cfg.loss)
     plateau = ReduceLROnPlateau(factor=0.25, patience=8,
                                 min_lr_scale=6e-5 / lr)
@@ -122,9 +146,10 @@ def train_distance(cfg: DistanceTrainConfig) -> dict:
         scale = plateau.scale
         losses = []
         for imgs, neigh, cell in train_ds.batches(cfg.batch_size):
+            aug_rng, step_rng = jax.random.split(aug_rng)
             state, loss = step_fn(state, jnp.asarray(imgs),
                                   jnp.asarray(neigh), jnp.asarray(cell),
-                                  jnp.float32(scale))
+                                  jnp.float32(scale), step_rng)
             losses.append(loss)
         train_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
 
@@ -163,12 +188,13 @@ def train_distance(cfg: DistanceTrainConfig) -> dict:
         sched = cosine_finetune_schedule(0.09 * lr, ft_epochs * n_batches)
         tx2 = ranger(learning_rate=sched)
         state = TrainState.create(state.apply_fn, best_params, tx2)
-        step2 = _make_step(apply_fn, tx2, cfg.loss)
+        step2 = _make_step(apply_fn, tx2, cfg.loss, cfg.augment)
         for e in range(ft_epochs):
             for imgs, neigh, cell in train_ds.batches(cfg.batch_size):
+                aug_rng, step_rng = jax.random.split(aug_rng)
                 state, loss = step2(state, jnp.asarray(imgs),
                                     jnp.asarray(neigh), jnp.asarray(cell),
-                                    jnp.float32(1.0))
+                                    jnp.float32(1.0), step_rng)
             val_losses = [
                 float(eval_fn(state.params, jnp.asarray(i), jnp.asarray(n),
                               jnp.asarray(c)))
