@@ -60,17 +60,28 @@ def main(argv=None):
         num_class=args.num_class, bucket=args.bucket,
     )
 
-    for img_name in img_names:
-        img_data = np.asarray(imread(join(args.input_path, img_name)))
+    images = {}
+
+    def load_all():
+        for img_name in img_names:
+            img = np.asarray(imread(join(args.input_path, img_name)))
+            images[img_name] = img
+            yield img
+
+    t_start = time.time()
+    # pipelined: image i+1 uploads/computes while image i's labels download
+    for img_name, labels in zip(img_names,
+                                predictor.predict_many(load_all())):
         t0 = time.time()
-        labels = predictor.predict(img_data)
         stem = img_name.split(".")[0]
-        imwrite_instance_tiff(join(args.output_path, stem + "_label.tiff"), labels)
-        t1 = time.time()
+        imwrite_instance_tiff(join(args.output_path, stem + "_label.tiff"),
+                              labels)
+        img_data = images.pop(img_name)
         print(
             f"Prediction finished: {img_name}; img size = {img_data.shape}; "
-            f"costing: {t1 - t0:.2f}s"
+            f"costing: {time.time() - t_start:.2f}s cumulative"
         )
+        t_start = time.time()
 
         if args.show_overlay:
             from ..ops.host_morphology import (

@@ -126,3 +126,37 @@ class Predictor:
         t0 = time.perf_counter()
         out = self.predict(img)
         return out, time.perf_counter() - t0
+
+    def predict_many(self, imgs, depth: int = 2):
+        """Pipelined multi-image prediction (generator of label maps).
+
+        JAX's async dispatch overlaps image i+1's upload + compute with
+        image i's device→host label transfer; `depth` bounds in-flight
+        work. Same results as sequential predict()."""
+        from collections import deque
+
+        pending: deque = deque()
+
+        def materialize(item):
+            labels, h, w = item
+            return np.asarray(labels)[:h, :w].astype(np.int32)
+
+        for img in imgs:
+            img = np.asarray(img)
+            if img.ndim == 2:
+                img = np.repeat(img[..., None], 3, axis=-1)
+            elif img.shape[-1] > 3:
+                img = img[..., :3]
+            h, w = img.shape[:2]
+            ph = _bucket_up(h, self.bucket, self.roi)
+            pw = _bucket_up(w, self.bucket, self.roi)
+            padded = np.zeros((ph, pw, 3), img.dtype)
+            padded[:h, :w] = img
+            run = self._program(ph, pw)
+            labels, _ = run(self.params, jnp.asarray(padded),
+                            jnp.int32(h), jnp.int32(w))
+            pending.append((labels, h, w))
+            while len(pending) > depth:
+                yield materialize(pending.popleft())
+        while pending:
+            yield materialize(pending.popleft())
