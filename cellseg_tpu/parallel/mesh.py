@@ -19,6 +19,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Initialize multi-host JAX (DCN) for multi-host slices (e.g. v5e-16).
+
+    On TPU pods with standard env vars, jax.distributed.initialize() is
+    auto-configured; explicit args support manual setups. Safe to call on
+    single-host (no-op on failure)."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except Exception as e:  # single-host / already initialized
+        if num_processes and num_processes > 1:
+            raise
+        print(f"jax.distributed not initialized (single host): {e}")
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:

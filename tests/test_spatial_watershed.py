@@ -1,0 +1,69 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cellseg_tpu.ops.watershed import watershed_jax
+from cellseg_tpu.parallel.spatial import AXIS
+from cellseg_tpu.parallel.spatial_watershed import (
+    spatial_decode_distance,
+    spatial_watershed,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.array(jax.devices()[:4]), (AXIS,))
+
+
+def test_spatial_watershed_matches_single(mesh):
+    h, w = 256, 128  # 4 stripes of 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    # two basins, one straddling the stripe boundary at row 64
+    b1 = np.exp(-(((yy - 60) ** 2 + (xx - 40) ** 2) / 400))
+    b2 = np.exp(-(((yy - 180) ** 2 + (xx - 90) ** 2) / 500))
+    cell = np.maximum(b1, b2)
+    mask = cell > 0.1
+    markers = np.zeros((h, w), np.int32)
+    markers[60, 40] = 1
+    markers[180, 90] = 2
+
+    sh = NamedSharding(mesh, P(AXIS, None))
+    got = np.asarray(spatial_watershed(
+        jax.device_put(jnp.asarray(-cell), sh),
+        jax.device_put(jnp.asarray(markers), sh),
+        jax.device_put(jnp.asarray(mask), sh),
+        mesh,
+    ))
+    want = np.asarray(watershed_jax(jnp.asarray(-cell), jnp.asarray(markers),
+                                    jnp.asarray(mask)))
+    assert np.array_equal(got, want)
+    assert set(np.unique(got[mask])) == {1, 2}
+
+
+def test_spatial_decode_distance_matches_single(mesh):
+    from cellseg_tpu.decode.distance import decode_distance
+    from cellseg_tpu.metrics import relabel_sequential, score_pair
+    from cellseg_tpu.pipeline.distance_labels import distance_label_2d
+
+    h, w = 256, 128
+    lbl = np.zeros((h, w), np.int32)
+    lbl[20:58, 20:60] = 1     # straddles nothing
+    lbl[50:100, 70:110] = 2   # straddles the row-64 boundary
+    lbl[150:200, 30:80] = 3
+    cell_d, neigh_d = distance_label_2d(lbl, cell_radius=40,
+                                        neighbor_radius=60)
+
+    sh = NamedSharding(mesh, P(AXIS, None))
+    got = spatial_decode_distance(
+        jax.device_put(jnp.asarray(neigh_d), sh),
+        jax.device_put(jnp.asarray(cell_d), sh),
+        mesh,
+    )
+    want = relabel_sequential(decode_distance(neigh_d, cell_d))
+    s = score_pair(want, got, count_bd_cells=True)
+    assert s["f1"] == 1.0, s
+    # pixel-level agreement must be near-exact (plateau ties only)
+    agree = (got == want).mean()
+    assert agree > 0.999, agree
