@@ -34,6 +34,9 @@ def main(argv=None):
     parser.add_argument("-o", "--output_path", default="./", type=str)
     args = parser.parse_args(argv)
 
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from ..infer.distance_infer import DistancePredictor
 
     model, params, _ = load_model_for_inference(args.model_path,

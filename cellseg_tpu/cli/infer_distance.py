@@ -36,6 +36,9 @@ def main(argv=None):
                         help="CTC cell type for FOI correction")
     args = parser.parse_args(argv)
 
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     os.makedirs(args.output_path, exist_ok=True)
     from ..decode.distance import foi_correction
     from ..infer.distance_infer import (

@@ -46,6 +46,9 @@ def main(argv=None):
     parser.add_argument("-h", "--help", action="help")
     args = parser.parse_args(argv)
 
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     os.makedirs(args.output_path, exist_ok=True)
     img_names = list_images(args.input_path)
 

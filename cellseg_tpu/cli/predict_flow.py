@@ -29,6 +29,9 @@ def main(argv=None):
     parser.add_argument("--n_iter", default=100, type=int)
     args = parser.parse_args(argv)
 
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -39,6 +39,9 @@ def main(argv=None):
     parser.add_argument("--no_augment", action="store_true")
     args = parser.parse_args(argv)
 
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     cfg = TrainConfig(
         data_path=args.data_path,
         work_dir=args.work_dir,

@@ -38,6 +38,9 @@ def main(argv=None):
                         choices=["float32", "bfloat16"])
     args = parser.parse_args(argv)
 
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     data = args.data_path
     if os.path.isdir(os.path.join(data, "images")):
         trainset = args.trainset_dir or os.path.join(args.work_dir,

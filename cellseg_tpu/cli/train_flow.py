@@ -21,6 +21,9 @@ def main(argv=None):
                         choices=["float32", "bfloat16"])
     args = parser.parse_args(argv)
 
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     cfg = FlowTrainConfig(
         data_path=args.data_path,
         work_dir=args.work_dir,

@@ -88,6 +88,31 @@ def det_score(gt: np.ndarray, pred: np.ndarray,
     return float(1.0 - min(aogm, aogm0) / aogm0)
 
 
+def det_errors(gt: np.ndarray, pred: np.ndarray) -> dict:
+    """Error decomposition (the reference parses these from the DET log,
+    KIT-GE segmentation/utils/metrics.py:82-123): split ops, FN, FP."""
+    overlap, gt_sizes = _matches(gt, pred)
+    n_gt = overlap.shape[0] - 1
+    n_pred = overlap.shape[1] - 1
+    gt_match = np.zeros(n_gt + 1, dtype=np.int64)
+    for g in range(1, n_gt + 1):
+        if gt_sizes[g] == 0:
+            continue
+        row = overlap[g, 1:]
+        if row.size:
+            j = int(np.argmax(row)) + 1
+            if overlap[g, j] * 2 > gt_sizes[g]:
+                gt_match[g] = j
+    matched = gt_match > 0
+    matched[0] = False
+    used, counts = np.unique(gt_match[gt_match > 0], return_counts=True)
+    return {
+        "splitting_operations": int(np.sum(counts - 1)),
+        "false_negatives": int(np.sum(~matched[1:] & (gt_sizes[1:] > 0))),
+        "false_positives": int(n_pred - len(used)),
+    }
+
+
 def ctc_scores(gt: np.ndarray, pred: np.ndarray) -> dict:
     s = seg_score(gt, pred)
     d = det_score(gt, pred)
