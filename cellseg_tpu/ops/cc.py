@@ -187,17 +187,36 @@ def _root_labels(mask: jax.Array, connectivity: int = 1,
     return _propagate(lab, mask, connectivity, max_iters)
 
 
+def component_areas_by_sort(roots_flat: jax.Array,
+                            mask_flat: jax.Array) -> jax.Array:
+    """Per-pixel component area from converged root labels — no scatter.
+
+    TPU cost model: sort-with-payload ≈ 35 ms at 4.2 MP vs scatter-add +
+    gather ≈ 100 ms. Pixels are sorted by root id; segment lengths come
+    from cummax scans over the run boundaries; a second sort by the
+    original index restores pixel order. Background (root == INF) forms
+    one segment that callers mask out.
+    """
+    n = roots_flat.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sr, si = jax.lax.sort((roots_flat, idx), num_keys=1)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sr[1:] != sr[:-1]])
+    is_end = jnp.concatenate(
+        [sr[1:] != sr[:-1], jnp.ones((1,), jnp.bool_)])
+    start_pos = jax.lax.cummax(jnp.where(is_start, idx, -1))
+    end_pos = -jax.lax.cummax(jnp.where(is_end, -idx, -(n + 1))[::-1])[::-1]
+    area_sorted = end_pos - start_pos + 1
+    _, area_px = jax.lax.sort((si, area_sorted), num_keys=1)
+    return jnp.where(mask_flat, area_px, 0)
+
+
 def _area_filter(mask: jax.Array, threshold: int, connectivity: int,
                  keep_large: bool) -> jax.Array:
-    """Shared area-filter core: one scatter-add + one gather total."""
+    """Shared area-filter core (sort-based segmented areas, gather-free)."""
     h, w = mask.shape
-    n = h * w
     roots = _root_labels(mask, connectivity).ravel()
-    safe = jnp.where(roots == _INF, 0, roots)
-    areas = jnp.zeros((n,), jnp.int32).at[safe].add(
-        mask.ravel().astype(jnp.int32)
-    )
-    pixel_area = jnp.where(mask.ravel(), areas[safe], 0).reshape(h, w)
+    pixel_area = component_areas_by_sort(roots, mask.ravel()).reshape(h, w)
     if keep_large:
         return jnp.logical_and(mask, pixel_area >= threshold)
     return jnp.logical_and(mask, pixel_area < threshold)
