@@ -153,21 +153,40 @@ def _filter_local(mask_ext: jax.Array, threshold: int, connectivity: int,
     Components touching the ext edge are treated as area ≥ threshold
     (provably correct for owned-row pixels when halo ≥ threshold).
     Returns keep-mask for the owned rows [halo, halo+stripe).
+    Gather/scatter-free: areas come from sort-based segmented run lengths;
+    ext-edge pixels carry a +BIG area bonus that any segment containing
+    them inherits through the run-length trick.
     """
-    from ..ops.cc import _root_labels
+    from ..ops.cc import _root_labels, component_areas_by_sort
 
     he, w = mask_ext.shape
     roots = _root_labels(mask_ext, connectivity).ravel()
-    n = he * w
-    safe = jnp.where(roots == _INF, 0, roots)
-    areas = jnp.zeros((n,), jnp.int32).at[safe].add(
-        mask_ext.ravel().astype(jnp.int32))
-    # mark components touching the top/bottom ext edge as "big"
+    flat_mask = mask_ext.ravel()
+    areas = component_areas_by_sort(roots, flat_mask)
+    # per-component edge flag via a second sorted pass: a component is
+    # edge-touching iff any of its pixels lies in ext row 0 or he-1
     edge = jnp.zeros((he, w), jnp.bool_).at[0, :].set(True).at[-1, :].set(True)
-    edge_i = jnp.logical_and(edge.ravel(), mask_ext.ravel()).astype(jnp.int32)
-    edge_flag = jnp.zeros((n,), jnp.int32).at[safe].max(edge_i)
-    big = jnp.logical_or(areas[safe] >= threshold, edge_flag[safe] > 0)
-    keep = jnp.logical_and(mask_ext.ravel(), big).reshape(he, w)
+    edge_flat = jnp.logical_and(edge.ravel(), flat_mask)
+    n = roots.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sr, se, si = jax.lax.sort(
+        (roots, edge_flat.astype(jnp.int32), idx), num_keys=1)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sr[1:] != sr[:-1]])
+    is_end = jnp.concatenate([sr[1:] != sr[:-1], jnp.ones((1,), jnp.bool_)])
+    start_pos = jax.lax.cummax(jnp.where(is_start, idx, -1))
+    # prefix-OR within segment (fwd) + suffix-OR (bwd) = segment OR
+    last_edge = jax.lax.cummax(jnp.where(se > 0, idx, -1))
+    fwd_or = last_edge >= start_pos
+    end_pos = -jax.lax.cummax(jnp.where(is_end, -idx, -(n + 1))[::-1])[::-1]
+    first_edge = -jax.lax.cummax(
+        jnp.where(se > 0, -idx, -(n + 1))[::-1])[::-1]
+    bwd_or = first_edge <= end_pos
+    seg_edge = jnp.logical_or(fwd_or, bwd_or)
+    _, edge_px = jax.lax.sort(
+        (si, seg_edge.astype(jnp.int32)), num_keys=1)
+    big = jnp.logical_or(areas >= threshold, edge_px > 0)
+    keep = jnp.logical_and(flat_mask, big).reshape(he, w)
     return keep[halo:halo + stripe]
 
 
