@@ -42,7 +42,11 @@ def main(argv=None):
                         help="sliding-window ROI size")
     parser.add_argument("--sw_batch_size", default=4, type=int)
     parser.add_argument("--bucket", default=256, type=int,
-                        help="shape bucket to bound recompiles")
+                        help="shape bucket to bound recompiles (1 = pad "
+                             "only to the ROI, exact reference tiling)")
+    parser.add_argument("--blend", default="constant",
+                        choices=["constant", "gaussian"],
+                        help="sliding-window blending mode")
     parser.add_argument("-h", "--help", action="help")
     args = parser.parse_args(argv)
 
@@ -60,7 +64,7 @@ def main(argv=None):
     predictor = Predictor(
         lambda p, t: model.apply(p, t), params,
         roi=args.input_size, sw_batch=args.sw_batch_size,
-        num_class=args.num_class, bucket=args.bucket,
+        num_class=args.num_class, bucket=args.bucket, mode=args.blend,
     )
 
     images = {}

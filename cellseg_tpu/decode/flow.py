@@ -38,10 +38,18 @@ def _bilinear(field: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
             g(y1, x0) * wy * (1 - wx) + g(y1, x1) * wy * wx)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter",))
+@functools.partial(jax.jit, static_argnames=("n_iter", "method"))
 def decode_flow(flow: jax.Array, cellprob: jax.Array,
-                prob_threshold: float = 0.0, n_iter: int = 100) -> jax.Array:
-    """flow (H, W, 2) + cellprob logits (H, W) → int32 instance labels."""
+                prob_threshold: float = 0.0, n_iter: int = 100,
+                method: str = "doubling") -> jax.Array:
+    """flow (H, W, 2) + cellprob logits (H, W) → int32 instance labels.
+
+    method="doubling" (default): a few Euler steps build a pixel→pixel
+    successor map, then pointer doubling (succ = succ∘succ) follows
+    2^k flow steps with only ⌈log2(n_iter)⌉ gathers — TPU gathers cost
+    ~30 ms at 4 MP, so this is ~50× cheaper than stepwise tracking.
+    method="euler": cellpose-style per-step bilinear tracking.
+    """
     h, w = cellprob.shape
     mask = cellprob > prob_threshold
     fy = flow[..., 0].astype(jnp.float32)
@@ -58,7 +66,19 @@ def decode_flow(flow: jax.Array, cellprob: jax.Array,
         xs = jnp.clip(xs + dx, 0.0, w - 1.0)
         return ys, xs
 
-    ys, xs = jax.lax.fori_loop(0, n_iter, step, (ys0, xs0))
+    if method == "euler":
+        ys, xs = jax.lax.fori_loop(0, n_iter, step, (ys0, xs0))
+    else:
+        # a couple of Euler steps to smooth sub-pixel drift, then snap to
+        # the grid and double pointers
+        ys, xs = jax.lax.fori_loop(0, 2, step, (ys0, xs0))
+        succ = (jnp.clip(jnp.round(ys), 0, h - 1).astype(jnp.int32) * w
+                + jnp.clip(jnp.round(xs), 0, w - 1).astype(jnp.int32))
+        n_doublings = max(int(np.ceil(np.log2(max(n_iter, 2)))), 1)
+        for _ in range(n_doublings):
+            succ = succ[succ]
+        ys = (succ // w).astype(jnp.float32)
+        xs = (succ % w).astype(jnp.float32)
 
     # landing histogram: attractor basins are where many pixels land
     yi = jnp.round(ys).astype(jnp.int32)
