@@ -44,27 +44,79 @@ def _minmax_uint16(img: np.ndarray) -> np.ndarray:
     return (65535 * (img - lo) / (hi - lo)).astype(np.uint16)
 
 
+def collect_ctc_pairs(root: str, mode: str = "GT") -> list[tuple[str, str]]:
+    """Collect (image, label) pairs from a Cell Tracking Challenge tree.
+
+    CTC layout (reference create_training_sets.py:617-735):
+      <root>/01/t000.tif        frames
+      <root>/01_GT/SEG/man_seg000.tif   gold annotations
+      <root>/01_ST/SEG/man_seg000.tif   silver annotations
+    mode: GT | ST | GT+ST.
+    """
+    pairs = []
+    modes = ["GT", "ST"] if mode == "GT+ST" else [mode]
+    for seq in sorted(os.listdir(root)):
+        seq_dir = join(root, seq)
+        if not (os.path.isdir(seq_dir) and seq.isdigit()):
+            continue
+        for m in modes:
+            seg_dir = join(root, f"{seq}_{m}", "SEG")
+            if not os.path.isdir(seg_dir):
+                continue
+            for seg_name in sorted(os.listdir(seg_dir)):
+                if not seg_name.startswith("man_seg"):
+                    continue
+                frame = seg_name.replace("man_seg", "").split(".")[0]
+                for ext in (".tif", ".tiff"):
+                    img_path = join(seq_dir, f"t{frame}{ext}")
+                    if os.path.exists(img_path):
+                        pairs.append((img_path, join(seg_dir, seg_name)))
+                        break
+    return pairs
+
+
 def create_distance_training_set(input_path: str, output_path: str,
                                  crop_size: int = 320,
                                  val_frac: float = 0.2,
                                  min_cell_area: int = 1,
-                                 seed: int = 2022) -> dict:
-    """Build a distance-regression training set from images/ + labels/."""
-    img_dir, lbl_dir = join(input_path, "images"), join(input_path, "labels")
+                                 seed: int = 2022,
+                                 ctc_mode: str | None = None) -> dict:
+    """Build a distance-regression training set.
+
+    input_path: either NeurIPS format (images/ + labels/ with
+    {stem}_label.tiff) or, with ctc_mode set (GT/ST/GT+ST), a Cell
+    Tracking Challenge cell-type directory.
+    """
+    if ctc_mode:
+        pairs = collect_ctc_pairs(input_path, ctc_mode)
+    else:
+        img_dir = join(input_path, "images")
+        lbl_dir = join(input_path, "labels")
+        pairs = [
+            (join(img_dir, name),
+             join(lbl_dir, name.split(".")[0] + "_label.tiff"))
+            for name in sorted(os.listdir(img_dir))
+        ]
+    return _create_from_pairs(pairs, output_path, crop_size, val_frac,
+                              min_cell_area, seed)
+
+
+def _create_from_pairs(pairs: list[tuple[str, str]], output_path: str,
+                       crop_size: int, val_frac: float, min_cell_area: int,
+                       seed: int) -> dict:
     os.makedirs(join(output_path, "train"), exist_ok=True)
     os.makedirs(join(output_path, "val"), exist_ok=True)
 
-    img_names = sorted(os.listdir(img_dir))
     rng = np.random.RandomState(seed)
-    order = rng.permutation(len(img_names))
-    n_val = max(1, int(len(img_names) * val_frac)) if len(img_names) > 1 else 0
+    order = rng.permutation(len(pairs))
+    n_val = max(1, int(len(pairs) * val_frac)) if len(pairs) > 1 else 0
     val_set = set(order[:n_val].tolist())
 
     counts = {"train": 0, "val": 0}
-    for i, name in enumerate(img_names):
-        img = np.asarray(imread(join(img_dir, name)))
-        stem = name.split(".")[0]
-        lbl = np.asarray(imread(join(lbl_dir, stem + "_label.tiff")))
+    for i, (img_file, lbl_file) in enumerate(pairs):
+        img = np.asarray(imread(img_file))
+        stem = f"{i:04d}_" + os.path.basename(img_file).split(".")[0]
+        lbl = np.asarray(imread(lbl_file))
         if img.ndim == 3:
             img = img.mean(axis=-1)  # distance nets are single-channel
         img = _minmax_uint16(img)
