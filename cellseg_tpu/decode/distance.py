@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.cc import label_components, _INF
+from ..ops.cc import label_components
 from ..ops.watershed import watershed_jax
 from ..pipeline.augment import separable_gaussian_blur
 

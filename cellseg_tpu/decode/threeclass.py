@@ -13,7 +13,6 @@ scipy-based golden reference.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..ops.cc import (

@@ -14,7 +14,6 @@ of the decode so labels in the true image region are unaffected.
 
 from __future__ import annotations
 
-import functools
 import time
 
 import jax

@@ -138,28 +138,3 @@ class ResidualUnit(nn.Module):
                 dtype=self.dtype,
             )(residual)
         return y + residual
-
-
-class UpsampleConcat(nn.Module):
-    """Transposed-conv ×2 upsample, concatenated with the encoder skip."""
-
-    features: int
-    norm: str = "instance"
-    act: str = "prelu"
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, skip):
-        x = nn.ConvTranspose(
-            self.features,
-            (2, 2),
-            strides=(2, 2),
-            padding="SAME",
-            dtype=self.dtype,
-        )(x)
-        x = make_norm(self.norm)(self.features)(x).astype(self.dtype)
-        x = Activation(kind=self.act, dtype=self.dtype)(x)
-        # Pad/crop guard for odd input sizes.
-        if x.shape[1:3] != skip.shape[1:3]:
-            x = x[:, : skip.shape[1], : skip.shape[2], :]
-        return jnp.concatenate([x, skip], axis=-1)

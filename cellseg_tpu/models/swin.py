@@ -20,7 +20,7 @@ import numpy as np
 from flax import linen as nn
 
 from .blocks import ResidualUnit
-from .unetr import DeconvBlock, UpCatBlock
+from .unetr import UpCatBlock
 
 Dtype = Any
 

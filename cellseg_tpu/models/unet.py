@@ -18,7 +18,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import Activation, ConvNormAct, ResidualUnit, make_norm
+from .blocks import Activation, ResidualUnit, make_norm
 
 Dtype = Any
 

@@ -14,7 +14,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import ConvNormAct, ResidualUnit
+from .blocks import ResidualUnit
 from .vit import ViT
 
 Dtype = Any

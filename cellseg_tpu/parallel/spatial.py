@@ -25,8 +25,6 @@ on a virtual CPU mesh in tests and on real ICI-connected chips.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -22,7 +22,6 @@ import numpy as np
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.cc import _INF
 from .spatial import AXIS, _filter_local, _perm, spatial_label_components
 
 _BIG = 3.0e38

@@ -16,7 +16,6 @@ import os
 from typing import Any
 
 import jax
-import numpy as np
 from flax import serialization
 
 

@@ -21,7 +21,7 @@ import optax
 from ..models import build_model
 from ..pipeline.flow_labels import masks_to_flows
 from .checkpoint import save_checkpoint, save_sidecar
-from .data import CropDataset, split_train_val
+from .data import split_train_val
 from .losses import flow_loss
 from .steps import TrainState
 

@@ -17,8 +17,6 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

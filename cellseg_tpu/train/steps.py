@@ -11,7 +11,7 @@ returned as a device scalar — the host never blocks per step.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, NamedTuple
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
