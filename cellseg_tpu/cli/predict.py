@@ -58,9 +58,27 @@ def main(argv=None):
 
     from ..infer.predictor import Predictor
 
-    model, params, cfg = load_model_for_inference(
-        args.model_path, args.checkpoint
-    )
+    if args.model_name:
+        # explicit architecture override (reference predict.py --model_name);
+        # params are restored against the overridden model's structure
+        import jax
+        import jax.numpy as jnp
+        from flax import serialization
+
+        from ..models import build_model
+        from ..train.checkpoint import load_checkpoint
+
+        model = build_model(args.model_name, num_class=args.num_class,
+                            input_size=args.input_size)
+        template = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, args.input_size, args.input_size, 3)))
+        payload = load_checkpoint(join(args.model_path, args.checkpoint))
+        params = serialization.from_state_dict(template, payload["params"])
+    else:
+        model, params, cfg = load_model_for_inference(
+            args.model_path, args.checkpoint
+        )
     predictor = Predictor(
         lambda p, t: model.apply(p, t), params,
         roi=args.input_size, sw_batch=args.sw_batch_size,
