@@ -36,16 +36,28 @@ _INF_I = 2**31 - 1  # python int for pad fills / reduce_window init
 _INF = jnp.int32(_INF_I)
 
 
-def _fused_sweeps_ok(h: int, w: int) -> bool:
-    """Whether the Pallas fused-sweep kernel applies (TPU backend, shapes
-    compatible with the stripe tiling and VMEM budget)."""
+def _fused_sweeps_config(h: int, w: int):
+    """Pick a (stripe, k) for the Pallas fused-sweep kernel, or None.
+
+    VMEM budget: the kernel keeps ~8 live (stripe+2k, w) int32 blocks on
+    the scoped-VMEM stack; cap that at ~12 MB. Wider images get smaller
+    stripes/k; beyond the budget the caller falls back to plain sweeps.
+    """
     try:
         platform = jax.devices()[0].platform
     except Exception:
-        return False
+        return None
     if platform not in ("tpu", "axon"):
-        return False
-    return h % 128 == 0 and h >= 256 and w % 128 == 0 and w <= 8192
+        return None
+    if w % 128 != 0:
+        return None
+    budget = 12 * 2**20
+    for stripe, k in ((128, 16), (64, 8), (32, 8)):
+        if h % stripe != 0 or h < 2 * stripe or stripe < k:
+            continue
+        if (stripe + 2 * k) * w * 4 * 8 <= budget:
+            return stripe, k
+    return None
 
 
 def _sweep_min(lab: jax.Array, mask: jax.Array, connectivity: int) -> jax.Array:
@@ -111,14 +123,15 @@ def _propagate(lab: jax.Array, mask: jax.Array, connectivity: int,
     tripling the corner-turning rate per HBM round trip.
     """
 
-    def make_body(use_fused):
+    def make_body(fused_cfg):
         def body(state):
             lab, _, it = state
             new = lab
-            if use_fused:
+            if fused_cfg is not None:
                 from .pallas.sweeps import fused_sweeps
 
-                new = fused_sweeps(new, mask, k=16,
+                stripe_sz, k = fused_cfg
+                new = fused_sweeps(new, mask, k=k, stripe=stripe_sz,
                                    connectivity=connectivity)
             else:
                 for _ in range(2):
@@ -141,14 +154,14 @@ def _propagate(lab: jax.Array, mask: jax.Array, connectivity: int,
         return jnp.logical_and(changed, it < phase1_cap)
 
     state = jax.lax.while_loop(
-        cond1, make_body(False), (lab, jnp.bool_(True), jnp.int32(0)))
+        cond1, make_body(None), (lab, jnp.bool_(True), jnp.int32(0)))
 
     def cond2(s):
         _, changed, it = s
         return jnp.logical_and(changed, it < max_iters)
 
     state = jax.lax.while_loop(
-        cond2, make_body(_fused_sweeps_ok(h, w)), state)
+        cond2, make_body(_fused_sweeps_config(h, w)), state)
     return state[0]
 
 
