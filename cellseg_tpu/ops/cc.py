@@ -251,6 +251,28 @@ def remove_small_holes_jax(mask: jax.Array, area_threshold: int = 64,
     return jnp.logical_or(mask, fill)
 
 
+@jax.jit
+def relabel_sequential_device(labels: jax.Array) -> jax.Array:
+    """Order-preserving sequential relabel on device (sort-based).
+
+    Input labels are arbitrary non-negative ids (0 = background); output is
+    1..K in increasing-id order — identical to
+    metrics.relabel_sequential / skimage.segmentation.relabel_sequential.
+    Works on sharded inputs too (XLA partitions the sorts with collectives).
+    """
+    shape = labels.shape
+    flat = labels.ravel().astype(jnp.int32)
+    n = flat.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sv, si = jax.lax.sort((flat, idx), num_keys=1)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sv[:-1]])
+    is_new = jnp.logical_and(sv != prev, sv > 0)
+    seq = jnp.cumsum(is_new.astype(jnp.int32))
+    seq = jnp.where(sv > 0, seq, 0)
+    _, out = jax.lax.sort((si, seq), num_keys=1)
+    return out.reshape(shape)
+
+
 @functools.partial(jax.jit, static_argnames=("connectivity",))
 def component_areas_map(mask: jax.Array, connectivity: int = 1):
     """Per-pixel component area for a bool mask (0 on background).

@@ -389,14 +389,17 @@ class SpatialPredictor:
             cols = jnp.arange(w_pad)[None, :] < true_w
             interior = jnp.where(jnp.logical_and(rows, cols), interior, 0.0)
             mask = spatial_decode_mask(interior, mesh)
-            return spatial_label_components(mask, mesh)
+            labels = spatial_label_components(mask, mesh)
+            # sequential relabel on device (sharded sorts): the host only
+            # receives the final compact map
+            from ..ops.cc import relabel_sequential_device
+
+            return relabel_sequential_device(labels)
 
         self._progs[key] = run
         return run
 
     def predict(self, image: np.ndarray) -> np.ndarray:
-        from ..metrics import relabel_sequential
-
         n_dev = self.mesh.shape[AXIS]
         h, w = image.shape[:2]
         stride = int(self.roi * (1 - self.overlap))
@@ -407,8 +410,7 @@ class SpatialPredictor:
         dimg = jax.device_put(jnp.asarray(padded), sharding)
         run = self._program(h_pad, w_pad, h, w)
         labels = run(self.params, dimg)
-        host = np.asarray(jax.device_get(labels))[:h, :w]
-        return relabel_sequential(host)
+        return np.asarray(jax.device_get(labels))[:h, :w]
 
 
 def spatial_predict(apply_fn, params, image: np.ndarray, mesh: Mesh,
