@@ -25,9 +25,23 @@ from ..pipeline.normalize import normalize_image_jax
 from .sliding_window import sliding_window_inference
 
 
-def _bucket_up(v: int, bucket: int, minimum: int) -> int:
-    v = max(v, minimum)
-    return int(np.ceil(v / bucket) * bucket)
+def _bucket_up(v: int, bucket: int, roi: int, stride: int) -> int:
+    """Padded size for one axis.
+
+    bucket <= 1: pad only to the ROI (exact MONAI clamped tiling, general
+    accumulation path). Otherwise prefer a stride-uniform pad
+    (p ≡ roi mod stride → the parity-reshape fast blend applies) unless it
+    overshoots the plain bucket pad by more than ~5% — padding pixels cost
+    normalize/decode/transfer work that can outweigh the faster blend.
+    """
+    v = max(v, roi)
+    if bucket <= 1:
+        return v
+    p_bucket = int(np.ceil(v / bucket) * bucket)
+    p_uniform = roi + int(np.ceil(max(v - roi, 0) / stride) * stride)
+    if p_uniform <= p_bucket * 1.05:
+        return p_uniform
+    return p_bucket
 
 
 class Predictor:
@@ -111,8 +125,9 @@ class Predictor:
         elif img.shape[-1] > 3:
             img = img[..., :3]
         h, w = img.shape[:2]
-        ph = _bucket_up(h, self.bucket, self.roi)
-        pw = _bucket_up(w, self.bucket, self.roi)
+        stride = max(int(self.roi * (1 - self.overlap)), 1)
+        ph = _bucket_up(h, self.bucket, self.roi, stride)
+        pw = _bucket_up(w, self.bucket, self.roi, stride)
         padded = np.zeros((ph, pw, 3), img.dtype)
         padded[:h, :w] = img
         run = self._program(ph, pw)
@@ -147,8 +162,9 @@ class Predictor:
             elif img.shape[-1] > 3:
                 img = img[..., :3]
             h, w = img.shape[:2]
-            ph = _bucket_up(h, self.bucket, self.roi)
-            pw = _bucket_up(w, self.bucket, self.roi)
+            stride = max(int(self.roi * (1 - self.overlap)), 1)
+            ph = _bucket_up(h, self.bucket, self.roi, stride)
+            pw = _bucket_up(w, self.bucket, self.roi, stride)
             padded = np.zeros((ph, pw, 3), img.dtype)
             padded[:h, :w] = img
             run = self._program(ph, pw)

@@ -51,6 +51,84 @@ def _gaussian_importance(roi: int, sigma_scale: float = 0.125) -> np.ndarray:
     return m.astype(np.float32)
 
 
+def tiles_to_canvas(tiles: jax.Array, stride: int, roi: int,
+                    h_out: int, w_out: int) -> jax.Array:
+    """Sum overlapping tile outputs onto a canvas with NO dynamic updates.
+
+    tiles: (ny, nx, roi, roi, C) at origins (i*stride, j*stride), requiring
+    roi <= 2*stride (true for overlap <= 0.5). The grid splits into 2×2
+    parity subgrids whose tiles are disjoint; each maps to a canvas layer
+    by pure pad+transpose+reshape, and the blend is the sum of ≤4 layers.
+    ~5× cheaper than a sequential read-modify-write accumulator on TPU.
+    """
+    assert roi <= 2 * stride, (roi, stride)
+    ny, nx, _, _, c = tiles.shape
+    cell = 2 * stride
+    layers = []
+    for py in (0, 1):
+        for px in (0, 1):
+            sub = tiles[py::2, px::2]
+            my, mx = sub.shape[0], sub.shape[1]
+            if my == 0 or mx == 0:
+                continue
+            sub = jnp.pad(sub, ((0, 0), (0, 0), (0, cell - roi),
+                                (0, cell - roi), (0, 0)))
+            layer = sub.transpose(0, 2, 1, 3, 4).reshape(
+                my * cell, mx * cell, c)
+            oy, ox = py * stride, px * stride
+            layer = jnp.pad(layer, ((oy, 0), (ox, 0), (0, 0)))
+            layer = layer[:h_out, :w_out]
+            ph = h_out - layer.shape[0]
+            pw = w_out - layer.shape[1]
+            if ph or pw:
+                layer = jnp.pad(layer, ((0, ph), (0, pw), (0, 0)))
+            layers.append(layer)
+    out = layers[0]
+    for layer in layers[1:]:
+        out = out + layer
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("apply_fn", "roi", "stride", "sw_batch",
+                     "out_channels", "mode", "n_tiles"),
+)
+def _run_tiled_uniform(apply_fn, params, padded, origins, roi: int,
+                       stride: int, sw_batch: int, out_channels: int,
+                       mode: str, n_tiles: tuple):
+    """Fast path for uniform stride grids: scan-stacked tile outputs +
+    parity-reshape blending (no per-tile dynamic updates)."""
+    ph, pw = padded.shape[0], padded.shape[1]
+    n_batches = origins.shape[0] // sw_batch
+    origins = origins.reshape(n_batches, sw_batch, 2)
+
+    if mode == "gaussian":
+        imp = jnp.asarray(_gaussian_importance(roi))[..., None]
+    else:
+        imp = jnp.ones((roi, roi, 1), jnp.float32)
+
+    def gather_tile(origin):
+        return jax.lax.dynamic_slice(
+            padded, (origin[0], origin[1], 0), (roi, roi, padded.shape[2])
+        )
+
+    def body(_, orgs):
+        tiles = jax.vmap(gather_tile)(orgs)
+        return None, apply_fn(params, tiles).astype(jnp.float32) * imp
+
+    _, stacked = jax.lax.scan(body, None, origins)
+    tiles_out = stacked.reshape(-1, roi, roi, out_channels)
+    tiles_out = tiles_out[: n_tiles[0] * n_tiles[1]]
+    acc = tiles_to_canvas(
+        tiles_out.reshape(*n_tiles, roi, roi, out_channels),
+        stride, roi, ph, pw)
+    cnt_tiles = jnp.broadcast_to(
+        imp, (n_tiles[0], n_tiles[1], roi, roi, 1))
+    cnt = tiles_to_canvas(cnt_tiles, stride, roi, ph, pw)
+    return acc / jnp.maximum(cnt, 1e-8)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("apply_fn", "roi", "sw_batch", "out_channels", "mode"),
@@ -116,9 +194,27 @@ def sliding_window_inference(apply_fn, params, image: jax.Array, roi: int = 256,
     ys = tile_origins(ph, roi, overlap)
     xs = tile_origins(pw, roi, overlap)
     grid = np.stack(np.meshgrid(ys, xs, indexing="ij"), -1).reshape(-1, 2)
+
+    stride = max(int(roi * (1.0 - overlap)), 1)
+    uniform = (
+        roi <= 2 * stride
+        and np.array_equal(ys, np.arange(len(ys)) * stride)
+        and np.array_equal(xs, np.arange(len(xs)) * stride)
+    )
+    rem = (-len(grid)) % sw_batch
+    if uniform:
+        padded_grid = grid
+        if rem:
+            padded_grid = np.concatenate(
+                [grid, np.repeat(grid[-1:], rem, 0)])
+        out = _run_tiled_uniform(
+            apply_fn, params, image, jnp.asarray(padded_grid), roi, stride,
+            sw_batch, out_channels, mode, (len(ys), len(xs)),
+        )
+        return out[:h, :w]
+
     weights = np.ones(len(grid), np.float32)
     # pad tile count to a multiple of sw_batch with zero-weight duplicates
-    rem = (-len(grid)) % sw_batch
     if rem:
         grid = np.concatenate([grid, np.repeat(grid[-1:], rem, 0)])
         weights = np.concatenate([weights, np.zeros(rem, np.float32)])
