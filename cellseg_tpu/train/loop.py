@@ -68,10 +68,10 @@ def _foreground_dice(pred_onehot: np.ndarray, gt_onehot: np.ndarray) -> float:
 
 
 def validate(apply_fn, params, val_pairs, roi: int, num_class: int,
-             sw_batch: int = 4) -> float:
+             sw_batch: int = 4, logger=None, epoch: int = 0) -> float:
     """Whole-image sliding-window validation Dice, averaged over images."""
     scores = []
-    for img, lbl in val_pairs:
+    for i, (img, lbl) in enumerate(val_pairs):
         x = jnp.asarray(img.astype(np.float32) / 255.0)
         logits = sliding_window_inference(
             apply_fn, params, x, roi=roi, sw_batch=sw_batch,
@@ -81,6 +81,11 @@ def validate(apply_fn, params, val_pairs, roi: int, num_class: int,
         pred = np.asarray(probs > 0.5)
         gt = np.eye(num_class, dtype=np.float32)[lbl.astype(np.int64)]
         scores.append(_foreground_dice(pred, gt))
+        if logger is not None and i == 0:
+            # snapshot the first val case (reference plot_2d_or_3d_image)
+            logger.image("val/image", img, epoch)
+            logger.image("val/label", lbl, epoch)
+            logger.image("val/output", pred.argmax(-1), epoch)
     return float(np.nanmean(scores))
 
 
@@ -186,7 +191,8 @@ def train_3class(cfg: TrainConfig) -> dict:
 
         if epoch > cfg.min_val_epoch and epoch % cfg.val_interval == 0 and val_pairs:
             metric = validate(eval_apply, state.params, val_pairs,
-                              roi=cfg.input_size, num_class=cfg.num_class)
+                              roi=cfg.input_size, num_class=cfg.num_class,
+                              logger=logger, epoch=epoch)
             metric_values.append(metric)
             logger.scalar("val_mean_dice", metric, epoch + 1)
             if metric > best_metric:
