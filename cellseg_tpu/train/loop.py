@@ -163,6 +163,11 @@ def train_3class(cfg: TrainConfig) -> dict:
         "in_channels": 3,
         "dtype": cfg.dtype,
         "framework": "cellseg_tpu",
+        # full run provenance (the reference self-copies the training
+        # script, model_training_3class.py:90-93)
+        "train_config": dataclasses.asdict(cfg),
+        "n_params": int(n_params),
+        "n_devices": int(n_dev),
     })
 
     logger = ScalarLogger(model_path)
