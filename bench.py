@@ -72,7 +72,7 @@ def main():
     # contention on shared chips
     n_imgs = 8
     rates = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         for out in pred.predict_many([img] * n_imgs):
             pass

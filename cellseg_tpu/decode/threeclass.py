@@ -29,11 +29,43 @@ from ..ops.host_morphology import (
 
 @jax.jit
 def decode_interior_prob(prob_interior: jax.Array) -> jax.Array:
-    """(H, W) interior probability → (H, W) int32 instance labels, on device."""
+    """(H, W) interior probability → (H, W) int32 instance labels, on device.
+
+    Fused: the small-object pass's converged 4-conn roots seed the final
+    8-conn labeling (4-conn components are subsets of 8-conn components and
+    roots are component-min indices, so the seeded propagation converges to
+    the identical fixed point in a couple of diagonal-merge sweeps instead
+    of a full pass).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.cc import (
+        _INF,
+        _propagate,
+        _root_labels,
+        component_areas_by_sort,
+    )
+
     mask = prob_interior > 0.5
     mask = remove_small_holes_jax(mask, area_threshold=64, connectivity=1)
-    mask = remove_small_objects_jax(mask, min_size=16, connectivity=1)
-    return label_components(mask, connectivity=2)
+
+    # small-object removal, keeping the 4-conn roots for reuse
+    roots4 = _root_labels(mask, connectivity=1)
+    areas = component_areas_by_sort(roots4.ravel(), mask.ravel())
+    mask2 = jnp.logical_and(mask, areas.reshape(mask.shape) >= 16)
+
+    # final 8-conn labeling seeded by the surviving 4-conn roots
+    lab0 = jnp.where(mask2, roots4, _INF)
+    lab = _propagate(lab0, mask2, connectivity=2, max_iters=1024)
+    h, w = mask2.shape
+    n = h * w
+    flat = lab.ravel()
+    is_root = jnp.logical_and(flat == jnp.arange(n, dtype=jnp.int32),
+                              mask2.ravel())
+    seq = jnp.cumsum(is_root.astype(jnp.int32))
+    safe = jnp.where(flat == _INF, 0, flat)
+    out = jnp.where(mask2.ravel(), seq[safe], 0)
+    return out.reshape(h, w)
 
 
 def decode_interior_prob_host(prob_interior: np.ndarray) -> np.ndarray:
