@@ -47,6 +47,8 @@ def main(argv=None):
     parser.add_argument("--blend", default="constant",
                         choices=["constant", "gaussian"],
                         help="sliding-window blending mode")
+    parser.add_argument("--overlap", default=0.25, type=float,
+                        help="sliding-window tile overlap fraction")
     parser.add_argument("-h", "--help", action="help")
     args = parser.parse_args(argv)
 
@@ -83,6 +85,7 @@ def main(argv=None):
         lambda p, t: model.apply(p, t), params,
         roi=args.input_size, sw_batch=args.sw_batch_size,
         num_class=args.num_class, bucket=args.bucket, mode=args.blend,
+        overlap=args.overlap,
     )
 
     images = {}
