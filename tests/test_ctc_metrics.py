@@ -54,3 +54,37 @@ def test_rank_time_rule():
     assert rank_time(8.0, 500_000) == 0.0          # under tolerance
     assert rank_time(15.0, 500_000) == 5.0         # ≤1 MP: −10 s
     assert rank_time(50.0, 4_000_000) == 10.0      # 4 MP: −40 s
+
+
+def test_time_eval_survives_failing_command(tmp_path):
+    """Per-case defensive guard: one crashing case must not kill the run
+    (reference cellseg_time_eval.py:96-97)."""
+    import os
+
+    import numpy as np
+
+    from cellseg_tpu.cli.time_eval import main as te_main
+    from cellseg_tpu.io import imwrite
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    imwrite(str(imgs / "a.png"), np.zeros((16, 16, 3), np.uint8))
+    out = str(tmp_path / "te")
+    te_main(["-i", str(imgs), "-c", "false # always fails {input} {output}",
+             "-o", out, "-n", "rt"])
+    # CSV still written (empty rows), no exception propagated
+    assert os.path.exists(os.path.join(out, "rt.csv"))
+
+
+def test_det_errors_decomposition():
+    from cellseg_tpu.metrics.ctc import det_errors
+
+    gt = np.zeros((30, 30), np.int64)
+    gt[0:10, 0:10] = 1
+    gt[0:10, 12:22] = 2
+    pred = np.zeros_like(gt)
+    pred[0:10, 0:22] = 1  # one blob covering both -> 1 split
+    e = det_errors(gt, pred)
+    assert e["splitting_operations"] == 1
+    assert e["false_negatives"] == 0
+    assert e["false_positives"] == 0

@@ -47,3 +47,15 @@ def test_list_images(tmp_path):
     for n in ["b.png", "a.tiff", "c.txt"]:
         (tmp_path / n).write_bytes(b"x")
     assert list_images(str(tmp_path)) == ["a.tiff", "b.png"]
+
+
+def test_multipage_tiff(tmp_path):
+    from PIL import Image
+
+    pages = [Image.fromarray((np.ones((8, 8)) * i).astype(np.uint8))
+             for i in range(3)]
+    p = str(tmp_path / "multi.tiff")
+    pages[0].save(p, save_all=True, append_images=pages[1:])
+    arr = imread(p)
+    assert arr.shape == (3, 8, 8)
+    assert arr[2].max() == 2
