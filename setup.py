@@ -28,6 +28,9 @@ setup(
             "cellseg_infer_distance=cellseg_tpu.cli.infer_distance:main",
             "cellseg_eval_distance=cellseg_tpu.cli.eval_distance:main",
             "cellseg_time_eval=cellseg_tpu.cli.time_eval:main",
+            "cellseg_train_flow=cellseg_tpu.cli.train_flow:main",
+            "cellseg_predict_flow=cellseg_tpu.cli.predict_flow:main",
+            "cellseg_pre_process_flow=cellseg_tpu.cli.pre_process_flow:main",
         ],
     },
 )
