@@ -23,7 +23,8 @@ from ..models import build_model
 from .checkpoint import save_checkpoint, save_sidecar
 from .distance_data import DistanceCropDataset, get_max_epochs
 from .losses import dual_distance_loss
-from .optim import ReduceLROnPlateau, cosine_finetune_schedule, ranger
+from .optim import (ReduceLROnPlateau, adam_amsgrad,
+                    cosine_finetune_schedule, ranger, set_learning_rate)
 from .steps import TrainState
 
 join = os.path.join
@@ -51,7 +52,7 @@ class DistanceTrainConfig:
 def _make_step(apply_fn, tx, loss_kind, augment: bool):
     from ..pipeline.augment_distance import augment_distance_batch
 
-    def step(state: TrainState, imgs, border_gt, cell_gt, lr_scale, rng):
+    def step(state: TrainState, imgs, border_gt, cell_gt, rng):
         if augment:
             imgs, border_gt, cell_gt = augment_distance_batch(
                 rng, imgs, border_gt, cell_gt)
@@ -62,7 +63,6 @@ def _make_step(apply_fn, tx, loss_kind, augment: bool):
                                       kind=loss_kind)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        grads = jax.tree.map(lambda g: g * lr_scale, grads)
         return state.apply_gradients(grads), loss
 
     return jax.jit(step, donate_argnums=(0,))
@@ -114,7 +114,9 @@ def train_distance(cfg: DistanceTrainConfig) -> dict:
     if cfg.optimizer == "ranger":
         tx = ranger(learning_rate=lr)
     else:
-        tx = optax.chain(optax.scale_by_amsgrad(), optax.scale(-lr))
+        # injected LR so ReduceLROnPlateau shrinks the true step size
+        # (reference training.py:111-124)
+        tx = adam_amsgrad(lr)
     apply_fn = lambda p, x: model.apply(p, x)
     state = TrainState.create(lambda p, x, train=False: model.apply(p, x),
                               params, tx)
@@ -144,12 +146,14 @@ def train_distance(cfg: DistanceTrainConfig) -> dict:
     epoch = 0
     for epoch in range(1, max_epochs + 1):
         scale = plateau.scale
+        state = state.replace(
+            opt_state=set_learning_rate(state.opt_state, lr * scale))
         losses = []
         for imgs, neigh, cell in train_ds.batches(cfg.batch_size):
             aug_rng, step_rng = jax.random.split(aug_rng)
             state, loss = step_fn(state, jnp.asarray(imgs),
                                   jnp.asarray(neigh), jnp.asarray(cell),
-                                  jnp.float32(scale), step_rng)
+                                  step_rng)
             losses.append(loss)
         train_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
 
@@ -194,7 +198,7 @@ def train_distance(cfg: DistanceTrainConfig) -> dict:
                 aug_rng, step_rng = jax.random.split(aug_rng)
                 state, loss = step2(state, jnp.asarray(imgs),
                                     jnp.asarray(neigh), jnp.asarray(cell),
-                                    jnp.float32(1.0), step_rng)
+                                    step_rng)
             val_losses = [
                 float(eval_fn(state.params, jnp.asarray(i), jnp.asarray(n),
                               jnp.asarray(c)))

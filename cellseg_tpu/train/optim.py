@@ -90,11 +90,10 @@ def lookahead(k: int = 6, alpha: float = 0.5) -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
-def ranger(learning_rate=6e-3, b1: float = 0.95, b2: float = 0.999,
-           eps: float = 1e-5, k: int = 6, alpha: float = 0.5,
-           weight_decay: float = 0.0,
-           use_gc: bool = True) -> optax.GradientTransformation:
-    """Ranger2020-equivalent: GC → RAdam → (weight decay) → Lookahead."""
+def _ranger_chain(learning_rate=6e-3, b1: float = 0.95, b2: float = 0.999,
+                  eps: float = 1e-5, k: int = 6, alpha: float = 0.5,
+                  weight_decay: float = 0.0,
+                  use_gc: bool = True) -> optax.GradientTransformation:
     chain = []
     if use_gc:
         chain.append(gradient_centralization())
@@ -104,6 +103,44 @@ def ranger(learning_rate=6e-3, b1: float = 0.95, b2: float = 0.999,
     chain.append(optax.scale_by_learning_rate(learning_rate))
     chain.append(lookahead(k=k, alpha=alpha))
     return optax.chain(*chain)
+
+
+def ranger(learning_rate=6e-3, **kwargs) -> optax.GradientTransformation:
+    """Ranger2020-equivalent: GC → RAdam → (weight decay) → Lookahead.
+
+    The learning rate is an injected hyperparam (readable/writable in
+    opt_state via set_learning_rate) so plateau scheduling changes the true
+    step size — scaling *gradients* before an Adam-family transform is a
+    near no-op (second-moment normalization cancels it).
+    """
+    return optax.inject_hyperparams(
+        _ranger_chain,
+        static_args=("b1", "b2", "eps", "k", "alpha", "weight_decay",
+                     "use_gc"),
+    )(learning_rate=learning_rate, **kwargs)
+
+
+def adam_amsgrad(learning_rate) -> optax.GradientTransformation:
+    """Adam(amsgrad) with an injected learning rate (reference KIT-GE
+    trainer config, training.py:111-124: Adam lr 8e-4 amsgrad +
+    ReduceLROnPlateau)."""
+
+    def make(learning_rate):
+        return optax.chain(optax.scale_by_amsgrad(),
+                           optax.scale_by_learning_rate(learning_rate))
+
+    return optax.inject_hyperparams(make)(learning_rate=learning_rate)
+
+
+def set_learning_rate(opt_state, lr):
+    """Return opt_state with the injected learning_rate hyperparam set.
+
+    Works on the InjectHyperparamsState produced by ranger()/adam_amsgrad().
+    Pure: safe to call between donated jit steps (same pytree structure, so
+    no retrace)."""
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state._replace(hyperparams=hp)
 
 
 class PlateauState(NamedTuple):
@@ -116,9 +153,9 @@ class ReduceLROnPlateau:
     """Host-side plateau tracker (torch ReduceLROnPlateau semantics).
 
     The reference drives torch's scheduler off the val loss
-    (training.py:237-241); here the tracked scale multiplies the base LR
-    through optax.scale_by_learning_rate's injected hyperparam — callers
-    read `.scale` each epoch and pass it to the step.
+    (training.py:237-241); here callers read `.scale` each epoch and write
+    base_lr * scale into the optimizer's injected hyperparam via
+    set_learning_rate().
     """
 
     def __init__(self, factor: float = 0.25, patience: int = 8,

@@ -5,10 +5,12 @@ import optax
 
 from cellseg_tpu.train.optim import (
     ReduceLROnPlateau,
+    adam_amsgrad,
     cosine_finetune_schedule,
     gradient_centralization,
     lookahead,
     ranger,
+    set_learning_rate,
 )
 
 
@@ -76,6 +78,47 @@ def test_plateau_scheduler():
     assert sched.step(0.95) == 1.0    # bad 1 (<= patience)
     assert sched.step(0.95) == 0.5    # bad 2 -> decay
     assert sched.step(0.5) == 0.5     # improved again
+
+
+def test_plateau_shrinks_effective_step_size():
+    """The round-1 bug: scaling *gradients* before Adam is cancelled by
+    second-moment normalization. With the injected LR, a forced plateau must
+    actually shrink the parameter update norm (reference training.py:111-124
+    semantics)."""
+    rng = np.random.default_rng(1)
+    params = {"w": jnp.asarray(rng.normal(0, 1, (8, 8)).astype(np.float32))}
+    tx = adam_amsgrad(1e-3)
+    state = tx.init(params)
+
+    def loss(p):
+        return jnp.sum(jnp.sin(p["w"]) ** 2)
+
+    def update_norm(p, s):
+        g = jax.grad(loss)(p)
+        u, s = tx.update(g, s, p)
+        return float(jnp.linalg.norm(u["w"])), optax.apply_updates(p, u), s
+
+    # warm up the second-moment stats so we're at steady state
+    for _ in range(20):
+        _, params, state = update_norm(params, state)
+    n_full, params, state = update_norm(params, state)
+
+    state = set_learning_rate(state, 1e-3 * 0.25)  # forced plateau decay
+    n_decayed, params, state = update_norm(params, state)
+    assert n_decayed < n_full / 2.0, (n_full, n_decayed)
+    # and the hyperparam survives round-trips through update()
+    assert abs(float(state.hyperparams["learning_rate"]) - 2.5e-4) < 1e-9
+
+
+def test_set_learning_rate_on_ranger():
+    params = {"w": jnp.ones((4, 4))}
+    tx = ranger(learning_rate=6e-3)
+    state = tx.init(params)
+    state = set_learning_rate(state, 6e-4)
+    g = {"w": jnp.ones((4, 4))}
+    u, state = tx.update(g, state, params)
+    assert np.isfinite(np.asarray(u["w"])).all()
+    assert abs(float(state.hyperparams["learning_rate"]) - 6e-4) < 1e-9
 
 
 def test_cosine_finetune():
