@@ -37,10 +37,19 @@ def _smooth_cell(cell_pred: jax.Array) -> jax.Array:
                                    radius=2)[..., 0]
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("rescue",))
 def _seeds_and_mask(cell_pred: jax.Array, border_pred: jax.Array,
-                    th_cell: jax.Array, th_seed: jax.Array):
-    """Smoothed prediction → (mask, seed labels) with area filtering."""
+                    th_cell: jax.Array, th_seed: jax.Array,
+                    rescue: bool = False):
+    """Smoothed prediction → (mask, seed labels) with area filtering.
+
+    rescue=False (first pass): remove seeds with area <= max(0.1·mean, 4)
+    (reference postprocessing.py:87-101). rescue=True (seed-decay retries):
+    remove only area <= 4 seeds, matching the reference's decay loop
+    (postprocessing.py:104-112) — applying the full mean-area filter there
+    can kill the very seeds the rescue exists to recover on near-empty
+    predictions.
+    """
     cell = _smooth_cell(cell_pred)
     border = jnp.clip(border_pred.astype(jnp.float32), 0, 1)
     mask = cell > th_cell
@@ -52,14 +61,16 @@ def _seeds_and_mask(cell_pred: jax.Array, border_pred: jax.Array,
     seed_mask = cleaned > th_seed
     seeds = label_components(seed_mask, connectivity=2)
 
-    # remove seeds with area <= max(0.1 * mean_area, 4)
     n = seeds.shape[0] * seeds.shape[1]
     flat = seeds.ravel()
     areas = jnp.zeros((n + 1,), jnp.float32).at[flat].add(1.0)
     areas = areas.at[0].set(0.0)
-    num_seeds = jnp.maximum(jnp.max(seeds), 1)
-    mean_area = jnp.sum(areas) / num_seeds.astype(jnp.float32)
-    min_area = jnp.maximum(0.10 * mean_area, 4.0)
+    if rescue:
+        min_area = jnp.float32(4.0)
+    else:
+        num_seeds = jnp.maximum(jnp.max(seeds), 1)
+        mean_area = jnp.sum(areas) / num_seeds.astype(jnp.float32)
+        min_area = jnp.maximum(0.10 * mean_area, 4.0)
     keep = areas[flat] > min_area
     seed_mask2 = jnp.logical_and(seed_mask, keep.reshape(seeds.shape))
     seeds2 = label_components(seed_mask2, connectivity=2)
@@ -80,11 +91,13 @@ def decode_distance(border_pred: np.ndarray, cell_pred: np.ndarray,
     cell, mask, seeds = _seeds_and_mask(
         cell_pred, border_pred, jnp.float32(th_cell), jnp.float32(th)
     )
-    # seed-decay rescue: guarantee at least one cell (reference :104-112)
+    # seed-decay rescue: guarantee at least one cell (reference :104-112);
+    # retries only drop area<=4 seeds, not the mean-area-scaled filter
     while int(jax.device_get(jnp.max(seeds))) == 0 and th > 0.05:
         th -= 0.1
         cell, mask, seeds = _seeds_and_mask(
-            cell_pred, border_pred, jnp.float32(th_cell), jnp.float32(th)
+            cell_pred, border_pred, jnp.float32(th_cell), jnp.float32(th),
+            rescue=True,
         )
     labels = _flood(cell, seeds, mask)
     return np.asarray(jax.device_get(labels)).astype(np.int32)

@@ -118,12 +118,12 @@ class Predictor:
         return run
 
     def predict(self, img: np.ndarray) -> np.ndarray:
-        """Raw image (H, W[, C]) → int32 instance label map (H, W)."""
-        img = np.asarray(img)
-        if img.ndim == 2:
-            img = np.repeat(img[..., None], 3, axis=-1)
-        elif img.shape[-1] > 3:
-            img = img[..., :3]
+        """Raw image (H, W[, C]) or multipage stack (N, H, W) → int32
+        instance label map (H, W); pages are treated as channel planes
+        (see io.to_hwc3)."""
+        from ..io.images import to_hwc3
+
+        img = to_hwc3(img)
         h, w = img.shape[:2]
         stride = max(int(self.roi * (1 - self.overlap)), 1)
         ph = _bucket_up(h, self.bucket, self.roi, stride)
@@ -155,12 +155,10 @@ class Predictor:
             labels, h, w = item
             return np.asarray(labels)[:h, :w].astype(np.int32)
 
+        from ..io.images import to_hwc3
+
         for img in imgs:
-            img = np.asarray(img)
-            if img.ndim == 2:
-                img = np.repeat(img[..., None], 3, axis=-1)
-            elif img.shape[-1] > 3:
-                img = img[..., :3]
+            img = to_hwc3(img)
             h, w = img.shape[:2]
             stride = max(int(self.roi * (1 - self.overlap)), 1)
             ph = _bucket_up(h, self.bucket, self.roi, stride)

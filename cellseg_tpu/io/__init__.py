@@ -1,3 +1,4 @@
-from .images import imread, imwrite, imwrite_instance_tiff, list_images
+from .images import imread, imwrite, imwrite_instance_tiff, list_images, to_hwc3
 
-__all__ = ["imread", "imwrite", "imwrite_instance_tiff", "list_images"]
+__all__ = ["imread", "imwrite", "imwrite_instance_tiff", "list_images",
+           "to_hwc3"]

@@ -35,6 +35,38 @@ def imread(path: str) -> np.ndarray:
         return np.asarray(im)
 
 
+def to_hwc3(img: np.ndarray) -> np.ndarray:
+    """Coerce any supported raw input layout to (H, W, 3).
+
+    Mirrors the reference channel fixup (data/pre_process_3class.py:86-91:
+    grayscale→3-channel repeat, >3 channels→first 3) and additionally makes
+    multipage-TIFF stacks coherent: imread returns pages as (N, H, W), and
+    in multi-modality microscopy each page is a channel plane, so pages are
+    moved to the trailing axis and treated as channels (the reference would
+    mis-slice the W axis here). A trailing axis of size ≤4 on a 3D array is
+    already channels.
+    """
+    img = np.asarray(img)
+    if img.ndim == 2:
+        return np.repeat(img[..., None], 3, axis=-1)
+    if img.ndim != 3:
+        raise ValueError(f"unsupported image rank {img.ndim}: {img.shape}")
+    if img.shape[-1] > 4 and img.shape[0] <= 16:
+        # (N, H, W) page stack (small leading page axis, non-channel
+        # trailing axis) → (H, W, N) channel planes. A genuine
+        # many-channel (H, W, C>4) image keeps channels-last and is
+        # truncated to 3 below, like the reference.
+        img = np.moveaxis(img, 0, -1)
+    c = img.shape[-1]
+    if c == 1:
+        return np.repeat(img, 3, axis=-1)
+    if c == 2:
+        # two acquisition channels: zero-fill the third
+        pad = np.zeros_like(img[..., :1])
+        return np.concatenate([img, pad], axis=-1)
+    return img[..., :3]
+
+
 def _pil_mode_for(arr: np.ndarray) -> Image.Image:
     """Build a PIL image from an array, preserving integer dtypes."""
     if arr.ndim == 2 and arr.dtype in (np.int64, np.uint64):

@@ -3,8 +3,8 @@
 Semantics-parity reimplementation of the reference scorer
 (reference: baseline/compute_metric.py:21-133,182-233). The reference's hot
 path is a numba-JIT pixel-pair histogram; here the histogram is a single
-vectorized ``np.bincount`` over fused pair indices (and an XLA scatter-add
-variant lives in metrics/overlap_jax.py), which is far faster than the
+vectorized ``np.bincount`` over fused pair indices (with an optional
+first-party C++ path in cellseg_tpu/native), which is far faster than the
 interpreted loop numba replaces and needs no JIT warmup.
 
 Hungarian assignment stays on host (scipy) — the cost matrices are at most

@@ -28,7 +28,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.cc import _INF, _segmented_min_scan, _sweep_min
@@ -184,7 +184,7 @@ def spatial_sliding_window(apply_fn, params, image, mesh: Mesh,
         shard_fn, mesh=mesh,
         in_specs=(P(), P(AXIS, None, None), P(AXIS, None)),
         out_specs=P(AXIS, None, None),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(params, image, cnt_rows_j)
 
@@ -281,7 +281,7 @@ def spatial_decode_mask(interior_prob, mesh: Mesh, threshold: float = 0.5,
         shard_fn, mesh=mesh,
         in_specs=(P(AXIS, None),),
         out_specs=P(AXIS, None),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(interior_prob)
 
@@ -346,7 +346,7 @@ def spatial_label_components(mask, mesh: Mesh, connectivity: int = 2,
         shard_fn, mesh=mesh,
         in_specs=(P(AXIS, None),),
         out_specs=P(AXIS, None),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(mask)
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .spatial import AXIS, _filter_local, _perm, spatial_label_components
@@ -100,7 +100,7 @@ def spatial_watershed(image, markers, mask, mesh: Mesh,
         shard_fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
         out_specs=P(AXIS, None),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(image, mask, markers)
 
@@ -169,7 +169,7 @@ def spatial_decode_distance(border_pred, cell_pred, mesh: Mesh,
 
     seed_mask2 = shard_map(
         filter_fn, mesh=mesh, in_specs=(P(AXIS, None),),
-        out_specs=P(AXIS, None), check_rep=False,
+        out_specs=P(AXIS, None), check_vma=False,
     )(seed_mask)
     seeds2 = spatial_label_components(seed_mask2, mesh)
 

@@ -35,15 +35,13 @@ def normalize_channel(img: np.ndarray, lower: float = 1, upper: float = 99) -> n
 def normalize_image(img: np.ndarray, lower: float = 1, upper: float = 99) -> np.ndarray:
     """Host whole-image normalization with the reference's channel fixup.
 
-    Grayscale → 3-channel repeat; >3 channels → first 3; per-channel
-    normalization skipping all-zero channels
-    (reference baseline/predict.py:93-104).
+    Layout coercion via io.to_hwc3 (grayscale repeat, >3-channel truncate,
+    multipage stacks as channel planes); per-channel normalization skipping
+    all-zero channels (reference baseline/predict.py:93-104).
     """
-    img = np.asarray(img)
-    if img.ndim == 2:
-        img = np.repeat(img[..., None], 3, axis=-1)
-    elif img.ndim == 3 and img.shape[-1] > 3:
-        img = img[:, :, :3]
+    from ..io.images import to_hwc3
+
+    img = to_hwc3(img)
     out = np.zeros(img.shape, dtype=np.uint8)
     for i in range(3):
         ch = img[:, :, i]

@@ -173,7 +173,6 @@ def train_3class(cfg: TrainConfig) -> dict:
     logger = ScalarLogger(model_path)
     best_metric, best_metric_epoch = -1.0, -1
     epoch_loss_values, metric_values = [], []
-    steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
     eval_apply = lambda p, t: model.apply(p, t)
     global_step = 0
     t_start = time.time()

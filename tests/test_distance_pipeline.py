@@ -90,6 +90,31 @@ def test_decode_distance_seed_rescue():
     assert pred.max() >= 1  # rescue loop found at least one cell
 
 
+def test_seed_rescue_keeps_small_seeds():
+    """In the decay loop the reference removes only area<=4 seeds
+    (postprocessing.py:104-112), NOT the 0.1*mean_area filter — on the
+    near-empty predictions the rescue exists for, the mean-area filter
+    would kill small-but-real seeds next to one large seed."""
+    from cellseg_tpu.decode import decode_distance
+
+    yy, xx = np.mgrid[0:96, 0:96]
+    # big broad blob, peak 0.40: ~hundreds of px above 0.35 after decay
+    big = 0.40 * np.exp(-(((yy - 30) ** 2 + (xx - 30) ** 2) / 900.0))
+    # small narrow blob, peak 0.39: only a handful of px above 0.35
+    small = 0.39 * np.exp(-(((yy - 75) ** 2 + (xx - 75) ** 2) / 18.0))
+    cell = np.maximum(big, small).astype(np.float32)
+    border = np.zeros_like(cell)
+    # th_seed 0.45 yields no seeds; first decay step (0.35) yields both
+    pred = decode_distance(border, cell, th_cell=0.07, th_seed=0.45)
+    n_seeds_above = int((cell > 0.35).sum())
+    assert n_seeds_above > 0
+    ids = set(np.unique(pred)) - {0}
+    assert len(ids) == 2, (len(ids), "mean-area filter leaked into rescue")
+    # the small instance must cover the small blob's peak
+    assert pred[75, 75] != 0 and pred[30, 30] != 0
+    assert pred[75, 75] != pred[30, 30]
+
+
 def test_flow_roundtrip():
     import jax.numpy as jnp
 

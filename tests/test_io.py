@@ -59,3 +59,51 @@ def test_multipage_tiff(tmp_path):
     arr = imread(p)
     assert arr.shape == (3, 8, 8)
     assert arr[2].max() == 2
+
+
+def test_to_hwc3_layouts():
+    from cellseg_tpu.io import to_hwc3
+
+    # grayscale → repeat
+    g = to_hwc3(np.ones((8, 9), np.uint8))
+    assert g.shape == (8, 9, 3)
+    # RGBA → first 3
+    assert to_hwc3(np.ones((8, 9, 4), np.uint8)).shape == (8, 9, 3)
+    # 2-channel → zero-padded third
+    two = to_hwc3(np.ones((8, 9, 2), np.uint8))
+    assert two.shape == (8, 9, 3) and two[..., 2].max() == 0
+    # multipage stack (N, H, W): pages become channel planes
+    stack = np.stack([np.full((16, 32), i, np.uint8) for i in range(3)])
+    out = to_hwc3(stack)
+    assert out.shape == (16, 32, 3)
+    assert out[..., 1].max() == 1 and out[..., 2].max() == 2
+    # 2-page stack → third channel zero-filled
+    out2 = to_hwc3(stack[:2])
+    assert out2.shape == (16, 32, 3) and out2[..., 2].max() == 0
+    # genuine many-channel (H, W, C>4) stays channels-last, truncated
+    many = np.ones((64, 64, 8), np.uint8)
+    assert to_hwc3(many).shape == (64, 64, 3)
+
+
+def test_predictor_accepts_multipage_stack():
+    """Round-1 flaw: (N, H, W) stacks had the W axis sliced as channels
+    (infer/predictor.py:126). Pages must now flow through as channels."""
+    import jax.numpy as jnp
+
+    from cellseg_tpu.infer.predictor import Predictor
+
+    def apply_fn(params, tiles):
+        # fake 3-class logits favoring interior where channel 0 is bright
+        bright = tiles[..., 0] > 0.5
+        interior = jnp.where(bright, 5.0, -5.0)
+        bg = -interior
+        return jnp.stack([bg, interior, jnp.full_like(interior, -5.0)],
+                         axis=-1)
+
+    pred = Predictor(apply_fn, params={}, roi=32, sw_batch=2, bucket=32)
+    stack = np.zeros((2, 48, 40), np.uint8)
+    stack[0, 10:30, 10:30] = 255  # one bright square on page 0
+    labels = pred.predict(stack)
+    assert labels.shape == (48, 40)  # (H, W), not (48, 2) nonsense
+    assert labels.max() == 1
+    assert labels[20, 20] == 1 and labels[2, 2] == 0
