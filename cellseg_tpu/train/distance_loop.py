@@ -47,6 +47,7 @@ class DistanceTrainConfig:
     augment: bool = True  # KIT-GE augmentors (on device)
     pretrain: bool = False  # autoencoder-pretrain the encoder first
     pretrain_epochs: int = 60
+    n_devices: int | None = None  # data-parallel mesh size (None = all)
 
 
 def _make_step(apply_fn, tx, loss_kind, augment: bool):
@@ -121,6 +122,25 @@ def train_distance(cfg: DistanceTrainConfig) -> dict:
     state = TrainState.create(lambda p, x, train=False: model.apply(p, x),
                               params, tx)
 
+    # data parallelism over the ICI mesh (the reference trains KIT-GE with
+    # nn.DataParallel, segmentation/utils/unets.py:50-51): replicated
+    # params, sharded batch, XLA inserts the gradient all-reduce
+    from ..parallel import make_mesh, replicate, shard_batch
+
+    n_avail = cfg.n_devices or len(jax.devices())
+    n_dev = max(d for d in range(1, n_avail + 1) if cfg.batch_size % d == 0)
+    mesh = make_mesh(n_dev)
+    if n_dev > 1:
+        print(f"data-parallel over {n_dev} devices")
+        state = state.replace(params=replicate(mesh, state.params),
+                              opt_state=replicate(mesh, state.opt_state))
+
+    def place(imgs, neigh, cell):
+        if n_dev > 1 and imgs.shape[0] % n_dev == 0:
+            return shard_batch(mesh, (jnp.asarray(imgs), jnp.asarray(neigh),
+                                      jnp.asarray(cell)))
+        return jnp.asarray(imgs), jnp.asarray(neigh), jnp.asarray(cell)
+
     step_fn = _make_step(apply_fn, tx, cfg.loss, cfg.augment)
     aug_rng = jax.random.PRNGKey(cfg.seed + 7)
     eval_fn = _eval_loss(apply_fn, cfg.loss)
@@ -151,9 +171,8 @@ def train_distance(cfg: DistanceTrainConfig) -> dict:
         losses = []
         for imgs, neigh, cell in train_ds.batches(cfg.batch_size):
             aug_rng, step_rng = jax.random.split(aug_rng)
-            state, loss = step_fn(state, jnp.asarray(imgs),
-                                  jnp.asarray(neigh), jnp.asarray(cell),
-                                  step_rng)
+            imgs, neigh, cell = place(imgs, neigh, cell)
+            state, loss = step_fn(state, imgs, neigh, cell, step_rng)
             losses.append(loss)
         train_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
 
@@ -192,13 +211,15 @@ def train_distance(cfg: DistanceTrainConfig) -> dict:
         sched = cosine_finetune_schedule(0.09 * lr, ft_epochs * n_batches)
         tx2 = ranger(learning_rate=sched)
         state = TrainState.create(state.apply_fn, best_params, tx2)
+        if n_dev > 1:
+            state = state.replace(params=replicate(mesh, state.params),
+                                  opt_state=replicate(mesh, state.opt_state))
         step2 = _make_step(apply_fn, tx2, cfg.loss, cfg.augment)
         for e in range(ft_epochs):
             for imgs, neigh, cell in train_ds.batches(cfg.batch_size):
                 aug_rng, step_rng = jax.random.split(aug_rng)
-                state, loss = step2(state, jnp.asarray(imgs),
-                                    jnp.asarray(neigh), jnp.asarray(cell),
-                                    step_rng)
+                imgs, neigh, cell = place(imgs, neigh, cell)
+                state, loss = step2(state, imgs, neigh, cell, step_rng)
             val_losses = [
                 float(eval_fn(state.params, jnp.asarray(i), jnp.asarray(n),
                               jnp.asarray(c)))

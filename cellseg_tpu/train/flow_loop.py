@@ -41,6 +41,7 @@ class FlowTrainConfig:
     seed: int = 2022
     dtype: str = "float32"
     val_frac: float = 0.1
+    n_devices: int | None = None  # data-parallel mesh size (None = all)
 
 
 class FlowCropDataset:
@@ -103,6 +104,24 @@ def train_flow(cfg: FlowTrainConfig) -> dict:
     state = TrainState.create(lambda p, x, train=False: model.apply(p, x),
                               params, tx)
 
+    # data parallelism: replicated params, sharded batch (same recipe as
+    # train/loop.py:142-152; the reference's DataParallel analog)
+    from ..parallel import make_mesh, replicate, shard_batch
+
+    n_avail = cfg.n_devices or len(jax.devices())
+    n_dev = max(d for d in range(1, n_avail + 1) if cfg.batch_size % d == 0)
+    mesh = make_mesh(n_dev)
+    if n_dev > 1:
+        print(f"data-parallel over {n_dev} devices")
+        state = state.replace(params=replicate(mesh, state.params),
+                              opt_state=replicate(mesh, state.opt_state))
+
+    def place(imgs, flows, masks):
+        batch = (jnp.asarray(imgs), jnp.asarray(flows), jnp.asarray(masks))
+        if n_dev > 1 and batch[0].shape[0] % n_dev == 0:
+            return shard_batch(mesh, batch)
+        return batch
+
     @jax.jit
     def step(state, imgs, flows, masks):
         def loss_fn(p):
@@ -135,8 +154,8 @@ def train_flow(cfg: FlowTrainConfig) -> dict:
         losses = []
         for imgs, flows, masks in train_ds.batches(cfg.batch_size,
                                                    steps_per_epoch):
-            state, loss = step(state, jnp.asarray(imgs), jnp.asarray(flows),
-                               jnp.asarray(masks))
+            imgs, flows, masks = place(imgs, flows, masks)
+            state, loss = step(state, imgs, flows, masks)
             losses.append(loss)
         train_loss = float(jnp.mean(jnp.stack(losses)))
         vals = [
