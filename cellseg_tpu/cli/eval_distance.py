@@ -2,13 +2,17 @@
 
 Grid-sweeps th_seed × th_cell over a labeled set, scores each setting with
 CTC SEG/DET/OP_CSB (reference eval.py:140-243), appends to metrics.csv
-with dedup (:246-256), and reports the best setting (utils.get_best_model).
+with dedup (:246-256), reports the best setting (utils.get_best_model) and
+copies the best model + sidecar with the winning settings embedded
+(utils.copy_best_model, utils.py:118-148).
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -32,6 +36,9 @@ def main(argv=None):
     parser.add_argument("--apply_clahe", action="store_true")
     parser.add_argument("--scale", default=1.0, type=float)
     parser.add_argument("-o", "--output_path", default="./", type=str)
+    parser.add_argument("--copy_best", default=None, type=str,
+                        help="copy the best model + settings sidecar here "
+                             "(reference utils.copy_best_model)")
     args = parser.parse_args(argv)
 
     from ..utils.cache import enable_compilation_cache
@@ -71,6 +78,7 @@ def main(argv=None):
             print(rows[-1])
 
     df = pd.DataFrame(rows)
+    os.makedirs(args.output_path, exist_ok=True)
     csv_path = join(args.output_path, "metrics.csv")
     if os.path.exists(csv_path):
         old = pd.read_csv(csv_path)
@@ -80,6 +88,34 @@ def main(argv=None):
     best = df.loc[df["OP_CSB"].idxmax()]
     print(f"best: th_seed={best['th_seed']} th_cell={best['th_cell']} "
           f"OP_CSB={best['OP_CSB']}")
+
+    if args.copy_best:
+        copy_best_model(
+            str(best["model"]), args.checkpoint, args.copy_best,
+            {"th_seed": float(best["th_seed"]),
+             "th_cell": float(best["th_cell"]),
+             "apply_clahe": bool(args.apply_clahe),
+             "scale_factor": float(args.scale),
+             "OP_CSB": float(best["OP_CSB"]),
+             "SEG": float(best["SEG"]), "DET": float(best["DET"])})
+
+
+def copy_best_model(model_path: str, checkpoint: str, dest_dir: str,
+                    best_settings: dict) -> None:
+    """Copy the winning checkpoint + config sidecar into dest_dir and embed
+    the winning post-processing settings in the sidecar
+    (reference utils.copy_best_model, utils.py:118-148)."""
+    os.makedirs(dest_dir, exist_ok=True)
+    shutil.copy(join(model_path, checkpoint), join(dest_dir, checkpoint))
+    cfg_path = join(model_path, "config.json")
+    cfg = {}
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+    cfg["best_settings"] = best_settings
+    with open(join(dest_dir, "config.json"), "w", encoding="utf-8") as f:
+        json.dump(cfg, f, ensure_ascii=False, indent=2)
+    print(f"best model copied to {dest_dir} (settings embedded)")
 
 
 if __name__ == "__main__":
