@@ -6,20 +6,48 @@ softmax → hole/object filtering → connected components), i.e. the full
 reference predict.py stack (baseline/predict.py:100-113) including instance
 decoding — not just the conv forward.
 
+The model is the TRAINED flagship UNet (assets/bench_unet_3class.ckpt,
+val Dice 0.952 on the synthetic held-out set), so the interior-probability
+map — and therefore the hole/object-filter + CC decode workload — is
+cell-shaped, not noise-shaped. Reported value is the MEDIAN of 5 pipelined
+rounds; per-stage device times (normalize / forward / decode) are included.
+
 Baseline: the challenge organizers' runtime budget is 10 s per megapixel
 (baseline/cellseg_time_eval.py:78-82, see BASELINE.md), i.e. 0.1 MP/s.
 `vs_baseline` is measured MP/s divided by that 0.1 MP/s budget.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def make_slide(H: int = 2048, W: int = 2048, n_cells: int = 2000,
+               seed: int = 0) -> np.ndarray:
+    """Synthetic whole-slide surrogate: ~n_cells bright disks on a noisy
+    background (the decode stage does realistic instance work)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:H, 0:W]
+    img_f = rng.normal(30, 8, (H, W))
+    cy = rng.integers(10, H - 10, n_cells)
+    cx = rng.integers(10, W - 10, n_cells)
+    r = rng.integers(6, 22, n_cells)
+    for i in range(n_cells):
+        y0, y1 = max(cy[i] - r[i], 0), min(cy[i] + r[i] + 1, H)
+        x0, x1 = max(cx[i] - r[i], 0), min(cx[i] + r[i] + 1, W)
+        d2 = (yy[y0:y1, x0:x1] - cy[i]) ** 2 + (xx[y0:y1, x0:x1] - cx[i]) ** 2
+        img_f[y0:y1, x0:x1] = np.maximum(
+            img_f[y0:y1, x0:x1], np.where(d2 <= r[i] ** 2, 180.0, 0.0))
+    return np.stack([np.clip(img_f, 0, 255)] * 3, -1).astype(np.uint8)
 
 
 def main():
@@ -32,30 +60,22 @@ def main():
 
     from cellseg_tpu.infer.predictor import Predictor
     from cellseg_tpu.models import build_model
+    from cellseg_tpu.train.checkpoint import load_checkpoint
 
-    # Flagship config: reference-equivalent UNet, bf16 activations.
+    # Flagship config: reference-equivalent UNet, bf16 activations,
+    # trained weights (synthetic set, val Dice 0.952).
     model = build_model("unet", num_class=3, dtype=jnp.bfloat16)
     dummy = jnp.zeros((1, 256, 256, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), dummy)
+    ckpt = os.path.join(HERE, "assets", "bench_unet_3class.ckpt")
+    from flax import serialization
 
-    # Whole-slide surrogate: 2048x2048 RGB with ~2000 disk-shaped cells on
-    # a noisy background — the decode stage (hole/object filters + CC)
-    # does realistic instance work.
+    payload = load_checkpoint(ckpt)
+    params = serialization.from_state_dict(params, payload["params"])
+
     H = W = 2048
-    rng = np.random.default_rng(0)
-    yy, xx = np.mgrid[0:H, 0:W]
-    img_f = rng.normal(30, 8, (H, W))
-    n_cells = 2000
-    cy = rng.integers(10, H - 10, n_cells)
-    cx = rng.integers(10, W - 10, n_cells)
-    r = rng.integers(6, 22, n_cells)
-    for i in range(n_cells):
-        y0, y1 = max(cy[i] - r[i], 0), min(cy[i] + r[i] + 1, H)
-        x0, x1 = max(cx[i] - r[i], 0), min(cx[i] + r[i] + 1, W)
-        d2 = (yy[y0:y1, x0:x1] - cy[i]) ** 2 + (xx[y0:y1, x0:x1] - cx[i]) ** 2
-        img_f[y0:y1, x0:x1] = np.maximum(
-            img_f[y0:y1, x0:x1], np.where(d2 <= r[i] ** 2, 180.0, 0.0))
-    img = np.stack([np.clip(img_f, 0, 255)] * 3, -1).astype(np.uint8)
+    img = make_slide(H, W)
+    mp = H * W / 1e6
 
     sw_batch = 16  # fill the MXU; reference uses 4 on GPU
     pred = Predictor(
@@ -63,13 +83,13 @@ def main():
         roi=256, sw_batch=sw_batch, overlap=0.25, bucket=256,
     )
 
-    # compile + warmup
-    pred.predict(img)
+    # compile + warmup (also sanity-check the decode finds real instances)
+    labels = pred.predict(img)
+    n_instances = int(labels.max())
     pred.predict(img)
 
-    # throughput over a pipelined stream of slides (H2D/compute/D2H
-    # overlapped by async dispatch), best-of-3 rounds to resist transient
-    # contention on shared chips
+    # end-to-end throughput over a pipelined stream of slides (H2D/compute/
+    # D2H overlapped by async dispatch); median of 5 rounds
     n_imgs = 8
     rates = []
     for _ in range(5):
@@ -77,8 +97,43 @@ def main():
         for out in pred.predict_many([img] * n_imgs):
             pass
         dt = (time.perf_counter() - t0) / n_imgs
-        rates.append(H * W / 1e6 / dt)
-    mps = float(np.max(rates))
+        rates.append(mp / dt)
+    mps = float(np.median(rates))
+
+    # per-stage device budget at steady state (block_until_ready per stage)
+    from cellseg_tpu.decode.threeclass import decode_interior_prob
+    from cellseg_tpu.infer.sliding_window import sliding_window_inference
+    from cellseg_tpu.pipeline.normalize import normalize_image_jax
+
+    @jax.jit
+    def stage_norm(u8):
+        norm = normalize_image_jax(u8).astype(jnp.float32)
+        return norm / jnp.maximum(jnp.max(norm), 1e-8)
+
+    @jax.jit
+    def stage_forward(p, x):
+        logits = sliding_window_inference(
+            lambda pp, t: model.apply(pp, t), p, x, roi=256,
+            sw_batch=sw_batch, overlap=0.25, out_channels=3)
+        return jax.nn.softmax(logits, axis=-1)[..., 1]
+
+    stage_decode = jax.jit(decode_interior_prob)
+
+    dev_img = jnp.asarray(img)
+    stages = {}
+    x = stage_norm(dev_img)
+    fwd = stage_forward(params, x)
+    dec = stage_decode(fwd)
+    jax.block_until_ready((x, fwd, dec))
+    for name, fn, arg in (("normalize", stage_norm, dev_img),
+                          ("forward_softmax", lambda a: stage_forward(params, a), x),
+                          ("decode", stage_decode, fwd)):
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(arg))
+            ts.append(time.perf_counter() - t0)
+        stages[name] = round(float(np.median(ts)) * 1e3, 2)  # ms
 
     budget_mps = 0.1  # organizers' 10 s/MP rank-time budget
     print(json.dumps({
@@ -86,6 +141,10 @@ def main():
         "value": round(mps, 3),
         "unit": "megapixels/sec/chip",
         "vs_baseline": round(mps / budget_mps, 2),
+        "stats": "median of 5 pipelined rounds, trained model",
+        "instances_decoded": n_instances,
+        "stage_ms_at_4.2MP": stages,
+        "rates_all_rounds": [round(r, 2) for r in rates],
     }))
     return 0
 

@@ -1,3 +1,10 @@
+from .ctc import (
+    ctc_metrics_sequence,
+    ctc_scores,
+    det_errors,
+    det_score,
+    seg_score,
+)
 from .f1 import (
     label_overlap,
     intersection_over_union,
@@ -20,4 +27,9 @@ __all__ = [
     "relabel_sequential",
     "score_pair",
     "score_pair_tiled",
+    "ctc_scores",
+    "ctc_metrics_sequence",
+    "seg_score",
+    "det_score",
+    "det_errors",
 ]

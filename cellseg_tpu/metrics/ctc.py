@@ -2,7 +2,12 @@
 
 The reference shells out to the Cell Tracking Challenge's precompiled
 SEGMeasure/DETMeasure binaries (KIT-GE segmentation/utils/metrics.py:41-66).
-Those are reimplemented here natively for single frames (2D images):
+Those are reimplemented here natively, for single frames (2D images) and
+for whole CTC sequence directories (ctc_metrics_sequence — the reference's
+directory-level ctc_metrics I/O). Hand-derived goldens for split / merge /
+miss / spurious cases pin the AOGM-D weights in tests/test_ctc_metrics.py
+(the official binaries cannot run here; the goldens substitute for a
+binary cross-check):
 
   SEG — for every GT object, the predicted object covering > 50% of its
         pixels (the CTC matching rule) contributes its Jaccard index;
@@ -30,12 +35,12 @@ def _matches(gt: np.ndarray, pred: np.ndarray):
     return overlap, gt_sizes
 
 
-def seg_score(gt: np.ndarray, pred: np.ndarray) -> float:
-    """SEG: mean Jaccard over GT objects under the >50% matching rule."""
+def seg_object_scores(gt: np.ndarray, pred: np.ndarray) -> list[float]:
+    """Per-GT-object Jaccard under the >50% matching rule (one entry per
+    GT object present in the frame; 0.0 for unmatched objects)."""
     overlap, gt_sizes = _matches(gt, pred)
-    n_gt = overlap.shape[0] - 1
-    if n_gt <= 0:
-        return 0.0
+    if overlap.shape[0] - 1 <= 0:
+        return []
     pred_sizes = overlap.sum(axis=0)
     scores = []
     for g in range(1, overlap.shape[0]):
@@ -46,21 +51,29 @@ def seg_score(gt: np.ndarray, pred: np.ndarray) -> float:
         inter = overlap[g, j] if j > 0 else 0
         if inter * 2 > gt_sizes[g]:  # strict majority rule
             union = gt_sizes[g] + pred_sizes[j] - inter
-            scores.append(inter / union)
+            scores.append(float(inter / union))
         else:
             scores.append(0.0)
+    return scores
+
+
+def seg_score(gt: np.ndarray, pred: np.ndarray) -> float:
+    """SEG: mean Jaccard over GT objects under the >50% matching rule."""
+    scores = seg_object_scores(gt, pred)
     return float(np.mean(scores)) if scores else 0.0
 
 
-def det_score(gt: np.ndarray, pred: np.ndarray,
-              w_fn: float = 10.0, w_fp: float = 1.0,
-              w_split: float = 5.0) -> float:
-    """DET: 1 − AOGM-D / AOGM-D0 for a single frame."""
+def det_frame_costs(gt: np.ndarray, pred: np.ndarray,
+                    w_fn: float = 10.0, w_fp: float = 1.0,
+                    w_split: float = 5.0) -> tuple[float, float]:
+    """AOGM-D cost of this frame and the cost of building its GT graph
+    from scratch (AOGM-D0). Sequence DET sums both over frames before
+    normalizing — per-frame normalization would weight sparse frames up."""
     overlap, gt_sizes = _matches(gt, pred)
     n_gt = overlap.shape[0] - 1
     n_pred = overlap.shape[1] - 1
     if n_gt <= 0:
-        return 0.0
+        return float(w_fp * n_pred), 0.0
 
     # gt_match[g] = pred id covering the majority of g (0 if none)
     gt_match = np.zeros(n_gt + 1, dtype=np.int64)
@@ -83,6 +96,14 @@ def det_score(gt: np.ndarray, pred: np.ndarray,
 
     aogm = w_fn * fn + w_fp * fp + w_split * splits
     aogm0 = w_fn * int(np.sum(gt_sizes[1:] > 0))
+    return float(aogm), float(aogm0)
+
+
+def det_score(gt: np.ndarray, pred: np.ndarray,
+              w_fn: float = 10.0, w_fp: float = 1.0,
+              w_split: float = 5.0) -> float:
+    """DET: 1 − AOGM-D / AOGM-D0 for a single frame."""
+    aogm, aogm0 = det_frame_costs(gt, pred, w_fn, w_fp, w_split)
     if aogm0 == 0:
         return 0.0
     return float(1.0 - min(aogm, aogm0) / aogm0)
@@ -117,3 +138,69 @@ def ctc_scores(gt: np.ndarray, pred: np.ndarray) -> dict:
     s = seg_score(gt, pred)
     d = det_score(gt, pred)
     return {"SEG": s, "DET": d, "OP_CSB": (s + d) / 2.0}
+
+
+def _frame_number(name: str) -> str | None:
+    """Trailing digit group of a CTC file stem ('man_seg012' → '012')."""
+    import re
+
+    m = re.search(r"(\d+)$", name.split(".")[0])
+    return m.group(1) if m else None
+
+
+def ctc_metrics_sequence(data_root: str, res_dir: str, subset: str = "01",
+                         mode: str = "GT") -> dict:
+    """Directory-level CTC SEG/DET over a whole sequence.
+
+    Matches the reference bridge's I/O (KIT-GE segmentation/utils/
+    metrics.py:11-79): ground truth at <data_root>/<subset>_<mode>/SEG/
+    man_seg{t}.tif, results at <res_dir>/mask{t}.tif. SEG averages the
+    Jaccard over ALL GT objects across annotated frames; DET sums AOGM-D
+    costs over frames before normalizing (official measure semantics).
+    DET is NaN for mode='ST' like the reference (:64-75).
+    """
+    import os
+
+    from ..io import imread
+
+    seg_dir = os.path.join(data_root, f"{subset}_{mode}", "SEG")
+    if not os.path.isdir(seg_dir):
+        raise FileNotFoundError(f"no GT directory: {seg_dir}")
+    res_by_frame = {}
+    for f in os.listdir(res_dir):
+        if f.startswith("mask") and f.split(".")[-1] in ("tif", "tiff"):
+            fr = _frame_number(f)
+            if fr is not None:
+                res_by_frame[int(fr)] = os.path.join(res_dir, f)
+
+    all_scores: list[float] = []
+    aogm_total, aogm0_total = 0.0, 0.0
+    frames = []
+    for f in sorted(os.listdir(seg_dir)):
+        if not f.startswith("man_seg"):
+            continue
+        fr = _frame_number(f)
+        if fr is None:
+            continue
+        gt = np.asarray(imread(os.path.join(seg_dir, f))).astype(np.int64)
+        res_path = res_by_frame.get(int(fr))
+        pred = (np.asarray(imread(res_path)).astype(np.int64)
+                if res_path else np.zeros_like(gt))
+        scores = seg_object_scores(gt, pred)
+        all_scores.extend(scores)
+        aogm, aogm0 = det_frame_costs(gt, pred)
+        aogm_total += aogm
+        aogm0_total += aogm0
+        frames.append({"frame": int(fr), "n_gt": len(scores),
+                       "seg": float(np.mean(scores)) if scores else 0.0})
+
+    seg = float(np.mean(all_scores)) if all_scores else 0.0
+    if mode != "GT":
+        det = float("nan")
+    elif aogm0_total == 0:
+        det = 0.0
+    else:
+        det = float(1.0 - min(aogm_total, aogm0_total) / aogm0_total)
+    op = (seg + det) / 2.0 if det == det else seg  # det==det: not NaN
+    return {"SEG": seg, "DET": det, "OP_CSB": op,
+            "n_frames": len(frames), "frames": frames}

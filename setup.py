@@ -31,6 +31,7 @@ setup(
             "cellseg_train_flow=cellseg_tpu.cli.train_flow:main",
             "cellseg_predict_flow=cellseg_tpu.cli.predict_flow:main",
             "cellseg_pre_process_flow=cellseg_tpu.cli.pre_process_flow:main",
+            "cellseg_ctc_measure=cellseg_tpu.cli.ctc_measure:main",
         ],
     },
 )

@@ -88,3 +88,134 @@ def test_det_errors_decomposition():
     assert e["splitting_operations"] == 1
     assert e["false_negatives"] == 0
     assert e["false_positives"] == 0
+
+
+# ---- hand-derived goldens pinning the AOGM-D weights (FN 10, FP 1,
+# split 5) on adversarial cases; the official binaries can't run here,
+# these substitute for a binary cross-check -------------------------------
+
+def _two_squares(size=40):
+    gt = np.zeros((size, size), np.int64)
+    gt[5:15, 5:15] = 1    # 100 px
+    gt[25:35, 25:35] = 2  # 100 px
+    return gt
+
+
+def test_golden_merge():
+    """Two GT cells merged into one prediction: 1 split op.
+    AOGM = 5, AOGM0 = 20 → DET = 1 − 5/20 = 0.75.
+    SEG: each GT fully covered by the union blob; Jaccard = 100/200 = 0.5."""
+    from cellseg_tpu.metrics.ctc import det_score, seg_score
+
+    gt = _two_squares()
+    pred = np.zeros_like(gt)
+    pred[(gt == 1) | (gt == 2)] = 1
+    assert det_score(gt, pred) == 0.75
+    assert abs(seg_score(gt, pred) - 0.5) < 1e-9
+
+
+def test_golden_split_60_40():
+    """One GT cell predicted as a 60/40 split: the 60% piece matches, the
+    40% piece is an FP. AOGM = 1, AOGM0 = 10 → DET = 0.9.
+    SEG: Jaccard of the matching piece = 60/100 = 0.6."""
+    from cellseg_tpu.metrics.ctc import det_score, seg_score
+
+    gt = np.zeros((20, 20), np.int64)
+    gt[5:15, 0:10] = 1  # 100 px
+    pred = np.zeros_like(gt)
+    pred[5:15, 0:6] = 1   # 60 px of the cell
+    pred[5:15, 6:10] = 2  # remaining 40 px
+    assert det_score(gt, pred) == 0.9
+    assert abs(seg_score(gt, pred) - 0.6) < 1e-9
+
+
+def test_golden_miss():
+    """Two GT cells, one detected: FN = 1 → AOGM = 10, AOGM0 = 20 →
+    DET = 0.5."""
+    from cellseg_tpu.metrics.ctc import det_score
+
+    gt = _two_squares()
+    pred = np.zeros_like(gt)
+    pred[gt == 1] = 1
+    assert det_score(gt, pred) == 0.5
+
+
+def test_golden_spurious():
+    """Both cells detected + one extra prediction: FP = 1 → AOGM = 1,
+    AOGM0 = 20 → DET = 0.95."""
+    from cellseg_tpu.metrics.ctc import det_score
+
+    gt = _two_squares()
+    pred = gt.copy()
+    pred[0:3, 20:23] = 3
+    assert det_score(gt, pred) == 0.95
+
+
+def test_golden_exact_half_is_unmatched():
+    """The CTC rule is a STRICT majority: covering exactly 50% of a GT
+    object does not match → FN, and both pieces are FPs.
+    AOGM = 10 + 2 = 12, AOGM0 = 10 → clipped → DET = 0."""
+    from cellseg_tpu.metrics.ctc import det_score, seg_score
+
+    gt = np.zeros((20, 20), np.int64)
+    gt[5:15, 0:10] = 1
+    pred = np.zeros_like(gt)
+    pred[5:15, 0:5] = 1
+    pred[5:15, 5:10] = 2
+    assert det_score(gt, pred) == 0.0
+    assert seg_score(gt, pred) == 0.0
+
+
+# ---- sequence-level directory scoring ------------------------------------
+
+def _write_ctc_eval_tree(root):
+    """<root>/data/01_GT/SEG/man_seg00k.tif + <root>/res/mask00k.tif"""
+    import os
+
+    from cellseg_tpu.io import imwrite_instance_tiff
+
+    seg = os.path.join(root, "data", "01_GT", "SEG")
+    res = os.path.join(root, "res")
+    os.makedirs(seg), os.makedirs(res)
+
+    # frame 0: perfect (2 cells); frame 1: merge; frame 2: miss one of two
+    gt = _two_squares()
+    cases = {
+        0: gt.copy(),
+        1: np.where(gt > 0, 1, 0).astype(np.int64),
+        2: np.where(gt == 1, 1, 0).astype(np.int64),
+    }
+    for t in range(3):
+        imwrite_instance_tiff(os.path.join(seg, f"man_seg{t:03d}.tif"), gt)
+        imwrite_instance_tiff(os.path.join(res, f"mask{t:03d}.tif"),
+                              cases[t])
+    return os.path.join(root, "data"), res
+
+
+def test_sequence_level_scores(tmp_path):
+    """Sequence DET pools AOGM over frames: frame costs 0 + 5 + 10 over
+    AOGM0 = 60 → DET = 0.75. Sequence SEG averages over all 6 GT objects:
+    (1 + 1 + 0.5 + 0.5 + 1 + 0) / 6 = 2/3."""
+    from cellseg_tpu.metrics.ctc import ctc_metrics_sequence
+
+    data_root, res_dir = _write_ctc_eval_tree(str(tmp_path))
+    out = ctc_metrics_sequence(data_root, res_dir, subset="01", mode="GT")
+    assert out["n_frames"] == 3
+    assert abs(out["DET"] - 0.75) < 1e-9
+    assert abs(out["SEG"] - 2.0 / 3.0) < 1e-9
+    # per-frame rows present and ordered
+    assert [f["frame"] for f in out["frames"]] == [0, 1, 2]
+
+
+def test_sequence_missing_result_frame(tmp_path):
+    """A GT frame without a result file counts as all-FN, not a crash."""
+    import os
+
+    from cellseg_tpu.metrics.ctc import ctc_metrics_sequence
+
+    data_root, res_dir = _write_ctc_eval_tree(str(tmp_path))
+    os.remove(os.path.join(res_dir, "mask002.tif"))
+    out = ctc_metrics_sequence(data_root, res_dir)
+    # frame 2 now contributes 2 FNs (cost 20) instead of 10:
+    # DET = 1 - (0+5+20)/60
+    assert abs(out["DET"] - (1 - 25 / 60)) < 1e-9
