@@ -100,7 +100,10 @@ def main():
         rates.append(mp / dt)
     mps = float(np.median(rates))
 
-    # per-stage device budget at steady state (block_until_ready per stage)
+    # per-stage device budget at steady state. On the axon tunnel,
+    # block_until_ready does NOT wait for remote completion, so each
+    # timing forces materialization through a scalar fetch; the pure
+    # sync overhead is measured separately and reported.
     from cellseg_tpu.decode.threeclass import decode_interior_prob
     from cellseg_tpu.infer.sliding_window import sliding_window_inference
     from cellseg_tpu.pipeline.normalize import normalize_image_jax
@@ -118,20 +121,22 @@ def main():
         return jax.nn.softmax(logits, axis=-1)[..., 1]
 
     stage_decode = jax.jit(decode_interior_prob)
+    sync = jax.jit(lambda a: jnp.sum(a.astype(jnp.float32)))
 
     dev_img = jnp.asarray(img)
     stages = {}
     x = stage_norm(dev_img)
     fwd = stage_forward(params, x)
     dec = stage_decode(fwd)
-    jax.block_until_ready((x, fwd, dec))
-    for name, fn, arg in (("normalize", stage_norm, dev_img),
+    float(sync(dec))
+    for name, fn, arg in (("sync_overhead", lambda a: a, dev_img),
+                          ("normalize", stage_norm, dev_img),
                           ("forward_softmax", lambda a: stage_forward(params, a), x),
                           ("decode", stage_decode, fwd)):
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(arg))
+            float(sync(fn(arg)))
             ts.append(time.perf_counter() - t0)
         stages[name] = round(float(np.median(ts)) * 1e3, 2)  # ms
 

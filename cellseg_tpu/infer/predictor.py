@@ -31,15 +31,18 @@ def _bucket_up(v: int, bucket: int, roi: int, stride: int) -> int:
     bucket <= 1: pad only to the ROI (exact MONAI clamped tiling, general
     accumulation path). Otherwise prefer a stride-uniform pad
     (p ≡ roi mod stride → the parity-reshape fast blend applies) unless it
-    overshoots the plain bucket pad by more than ~5% — padding pixels cost
-    normalize/decode/transfer work that can outweigh the faster blend.
+    overshoots the plain bucket pad by more than ~15% per axis. The blend
+    fast path is worth real money: at 2048² the general accumulation path
+    sync-times ~440 ms vs ~280 ms for the uniform grid at 2176² — the ~13%
+    extra pixels cost far less in normalize/decode/transfer than the
+    scatter-accumulate blend does.
     """
     v = max(v, roi)
     if bucket <= 1:
         return v
     p_bucket = int(np.ceil(v / bucket) * bucket)
     p_uniform = roi + int(np.ceil(max(v - roi, 0) / stride) * stride)
-    if p_uniform <= p_bucket * 1.05:
+    if p_uniform <= p_bucket * 1.15:
         return p_uniform
     return p_bucket
 
