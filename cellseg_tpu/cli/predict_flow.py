@@ -3,6 +3,11 @@
 Capability parity with the reference's cellpose eval wrappers
 (cellpose-omnipose-KIT-GE/test_cellpose_cyto2_grey.py:16-34): grey-convert,
 run the flow model, gradient-tracking decode, write `{stem}_label.tiff`.
+`--diameter` mirrors cellpose's semantics (:33): omitted/auto = estimate
+from a first pass and rescale to the model's nominal diameter; a number =
+rescale directly. Images larger than --tile_threshold run through the
+sliding-window engine instead of a whole-image jit. `--omni` selects the
+omnipose-style suppressed-Euler decode (test_omnipose_cyto2_grey.py:23-28).
 """
 
 from __future__ import annotations
@@ -27,49 +32,61 @@ def main(argv=None):
     parser.add_argument("--checkpoint", default="best_model.ckpt")
     parser.add_argument("--prob_threshold", default=0.0, type=float)
     parser.add_argument("--n_iter", default=100, type=int)
+    parser.add_argument("--diameter", default="auto",
+                        help="'auto' (cellpose diameter=None semantics) or "
+                             "a pixel diameter; 'off' disables rescaling")
+    parser.add_argument("--tile_threshold", default=1024, type=int,
+                        help="images larger than this on either axis use "
+                             "tiled sliding-window inference")
+    parser.add_argument("--roi", default=512, type=int,
+                        help="tile size for the tiled path")
+    parser.add_argument("--omni", action="store_true",
+                        help="omnipose-style suppressed-Euler decode")
     args = parser.parse_args(argv)
 
     from ..utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    import jax
-    import jax.numpy as jnp
-
-    from ..decode.flow import decode_flow
+    from ..infer.flow_infer import NOMINAL_DIAMETER, FlowPredictor
 
     os.makedirs(args.output_path, exist_ok=True)
-    model, params, _ = load_model_for_inference(args.model_path,
-                                                args.checkpoint)
+    model, params, sidecar = load_model_for_inference(args.model_path,
+                                                      args.checkpoint)
+    diam_mean = float((sidecar or {}).get("diam_mean", NOMINAL_DIAMETER))
 
-    jitted = {}
+    pred = FlowPredictor(
+        lambda p, x: model.apply(p, x), params,
+        prob_threshold=args.prob_threshold, n_iter=args.n_iter,
+        diam_mean=diam_mean, tile_threshold=args.tile_threshold,
+        roi=args.roi, omni=args.omni,
+    )
 
-    def run(x):
-        if x.shape not in jitted:
-            @jax.jit
-            def f(p, xx):
-                flow, cellprob = model.apply(p, xx[None])
-                return decode_flow(flow[0], cellprob[0, ..., 0],
-                                   args.prob_threshold, args.n_iter)
-
-            jitted[x.shape] = f
-        return jitted[x.shape](params, jnp.asarray(x))
+    if args.diameter == "auto":
+        diameter = None
+        auto = True
+    elif args.diameter in ("off", "none", ""):
+        diameter = None
+        auto = False
+    else:
+        diameter = float(args.diameter)
+        auto = False
 
     for name in list_images(args.input_path):
         img = np.asarray(imread(join(args.input_path, name)))
-        if img.ndim == 3:
-            img = img.mean(axis=-1)
-        lo, hi = float(img.min()), float(img.max())
-        grey = ((img.astype(np.float32) - lo) / max(hi - lo, 1e-9))
-        # pad to multiple of 32 for the conv strides
-        h, w = grey.shape
-        ph, pw = -(-h // 32) * 32, -(-w // 32) * 32
-        padded = np.zeros((ph, pw, 1), np.float32)
-        padded[:h, :w, 0] = grey
         t0 = time.time()
-        labels = np.asarray(run(padded))[:h, :w]
+        if auto:
+            labels = pred.predict(img, diameter=None)
+        elif diameter:
+            labels = pred.predict(img, diameter=diameter)
+        else:
+            # rescaling disabled: single native-scale pass
+            grey = img.mean(axis=-1) if img.ndim == 3 else img
+            lo, hi = float(grey.min()), float(grey.max())
+            labels = pred._forward_decode(
+                (grey.astype(np.float32) - lo) / max(hi - lo, 1e-9))
         stem = name.split(".")[0]
         imwrite_instance_tiff(join(args.output_path, stem + "_label.tiff"),
-                              labels)
+                              labels.astype(np.int32))
         print(f"{name}: {labels.max()} cells, {time.time() - t0:.2f}s")
 
 

@@ -49,6 +49,12 @@ def decode_flow(flow: jax.Array, cellprob: jax.Array,
     2^k flow steps with only ⌈log2(n_iter)⌉ gathers — TPU gathers cost
     ~30 ms at 4 MP, so this is ~50× cheaper than stepwise tracking.
     method="euler": cellpose-style per-step bilinear tracking.
+    method="omni": omnipose-style suppressed Euler — step size decays as
+    1/(1 + i/suppress) over iterations, which keeps trajectories inside
+    thin/elongated cells instead of overshooting through their skeleton
+    (the behavior the omnipose wrapper provides via `omni=True`,
+    cellpose-omnipose-KIT-GE/test_omnipose_cyto2_grey.py:23-28; a
+    capability analog, not a numerical port of omnipose internals).
     """
     h, w = cellprob.shape
     mask = cellprob > prob_threshold
@@ -58,16 +64,22 @@ def decode_flow(flow: jax.Array, cellprob: jax.Array,
     ys0 = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).ravel()
     xs0 = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).ravel()
 
-    def step(_, yx):
+    def step(i, yx, suppress=0.0):
         ys, xs = yx
         dy = _bilinear(fy, ys, xs)
         dx = _bilinear(fx, ys, xs)
-        ys = jnp.clip(ys + dy, 0.0, h - 1.0)
-        xs = jnp.clip(xs + dx, 0.0, w - 1.0)
+        damp = jnp.where(suppress > 0.0,
+                         1.0 / (1.0 + i.astype(jnp.float32) / jnp.maximum(suppress, 1e-6)),
+                         1.0)
+        ys = jnp.clip(ys + damp * dy, 0.0, h - 1.0)
+        xs = jnp.clip(xs + damp * dx, 0.0, w - 1.0)
         return ys, xs
 
     if method == "euler":
         ys, xs = jax.lax.fori_loop(0, n_iter, step, (ys0, xs0))
+    elif method == "omni":
+        ys, xs = jax.lax.fori_loop(
+            0, n_iter, lambda i, yx: step(i, yx, suppress=10.0), (ys0, xs0))
     else:
         # a couple of Euler steps to smooth sub-pixel drift, then snap to
         # the grid and double pointers

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..io import imread as imread_label
 from ..models import build_model
 from ..pipeline.flow_labels import masks_to_flows
 from .checkpoint import save_checkpoint, save_sidecar
@@ -136,6 +137,16 @@ def train_flow(cfg: FlowTrainConfig) -> dict:
         pred_flow, cellprob = model.apply(params, imgs)
         return flow_loss(pred_flow, cellprob, flows, masks)
 
+    # nominal cell diameter of the training set: median equivalent
+    # diameter over all GT instances (drives diameter=None auto-rescale
+    # at inference, infer/flow_infer.py)
+    diams = []
+    for _, lbl_f in train_files:
+        lbl = np.asarray(imread_label(lbl_f))
+        _, counts = np.unique(lbl[lbl > 0], return_counts=True)
+        diams.extend(np.sqrt(4.0 * counts / np.pi).tolist())
+    diam_mean = float(np.median(diams)) if diams else 30.0
+
     save_sidecar(model_dir, {
         "model_name": cfg.model_name,
         "architecture": {"channels": list(cfg.channels)},
@@ -143,6 +154,7 @@ def train_flow(cfg: FlowTrainConfig) -> dict:
         "input_size": cfg.input_size,
         "in_channels": 1,
         "dtype": cfg.dtype,
+        "diam_mean": diam_mean,
         "framework": "cellseg_tpu",
     })
 
