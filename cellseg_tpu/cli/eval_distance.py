@@ -34,6 +34,8 @@ def main(argv=None):
                         default=[0.35, 0.45])
     parser.add_argument("--th_cell", nargs="+", type=float, default=[0.07])
     parser.add_argument("--apply_clahe", action="store_true")
+    parser.add_argument("--artifact_correction", action="store_true")
+    parser.add_argument("--apply_merging", action="store_true")
     parser.add_argument("--scale", default=1.0, type=float)
     parser.add_argument("-o", "--output_path", default="./", type=str)
     parser.add_argument("--copy_best", default=None, type=str,
@@ -44,7 +46,8 @@ def main(argv=None):
     from ..utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    from ..infer.distance_infer import DistancePredictor
+    from ..infer.distance_infer import (DistancePredictor,
+                                        apply_merging, artifact_correction)
 
     model, params, _ = load_model_for_inference(args.model_path,
                                                 args.checkpoint)
@@ -60,13 +63,21 @@ def main(argv=None):
                 th_cell=th_cell, th_seed=th_seed,
                 use_clahe=args.apply_clahe, scale=args.scale,
             )
-            segs, dets = [], []
+            preds = {}
             for name in names:
                 img = np.asarray(imread(join(img_dir, name)))
+                labels = pred.predict(img)
+                if args.apply_merging:
+                    labels = apply_merging(labels, pred.last_border)
+                preds[name] = labels
+            if args.artifact_correction:
+                preds = artifact_correction(preds)
+            segs, dets = [], []
+            for name in names:
                 stem = name.split(".")[0]
                 gt = np.asarray(imread(join(lbl_dir, stem + "_label.tiff")))
-                labels = pred.predict(img)
-                s = ctc_scores(gt.astype(np.int64), labels.astype(np.int64))
+                s = ctc_scores(gt.astype(np.int64),
+                               preds[name].astype(np.int64))
                 segs.append(s["SEG"])
                 dets.append(s["DET"])
             seg, det = float(np.mean(segs)), float(np.mean(dets))
@@ -95,6 +106,8 @@ def main(argv=None):
             {"th_seed": float(best["th_seed"]),
              "th_cell": float(best["th_cell"]),
              "apply_clahe": bool(args.apply_clahe),
+             "artifact_correction": bool(args.artifact_correction),
+             "apply_merging": bool(args.apply_merging),
              "scale_factor": float(args.scale),
              "OP_CSB": float(best["OP_CSB"]),
              "SEG": float(best["SEG"]), "DET": float(best["DET"])})
