@@ -47,7 +47,9 @@ def make_slide(H: int = 2048, W: int = 2048, n_cells: int = 2000,
         d2 = (yy[y0:y1, x0:x1] - cy[i]) ** 2 + (xx[y0:y1, x0:x1] - cx[i]) ** 2
         img_f[y0:y1, x0:x1] = np.maximum(
             img_f[y0:y1, x0:x1], np.where(d2 <= r[i] ** 2, 180.0, 0.0))
-    return np.stack([np.clip(img_f, 0, 255)] * 3, -1).astype(np.uint8)
+    # grayscale, like whole-slide brightfield inputs; the predictor uploads
+    # one channel and expands to 3 on device (3x less H2D)
+    return np.clip(img_f, 0, 255).astype(np.uint8)
 
 
 def main():
@@ -72,6 +74,7 @@ def main():
 
     payload = load_checkpoint(ckpt)
     params = serialization.from_state_dict(params, payload["params"])
+    params = jax.device_put(params)  # host numpy otherwise: re-upload/call
 
     H = W = 2048
     img = make_slide(H, W)
@@ -111,6 +114,8 @@ def main():
     @jax.jit
     def stage_norm(u8):
         norm = normalize_image_jax(u8).astype(jnp.float32)
+        if norm.shape[-1] == 1:  # device-side channel expansion
+            norm = jnp.repeat(norm, 3, axis=-1)
         return norm / jnp.maximum(jnp.max(norm), 1e-8)
 
     @jax.jit
@@ -123,7 +128,7 @@ def main():
     stage_decode = jax.jit(decode_interior_prob)
     sync = jax.jit(lambda a: jnp.sum(a.astype(jnp.float32)))
 
-    dev_img = jnp.asarray(img)
+    dev_img = jnp.asarray(img[..., None])  # 1-channel upload
     stages = {}
     x = stage_norm(dev_img)
     fwd = stage_forward(params, x)

@@ -68,7 +68,7 @@ class Predictor:
         self.normalize = normalize
         self._jitted = {}
 
-    def _program(self, ph: int, pw: int):
+    def _program(self, ph: int, pw: int, c_in: int = 3):
         """Build (and cache) the per-shape program.
 
         Three separately-jitted stages (normalize+scale, tiled forward,
@@ -77,7 +77,7 @@ class Predictor:
         giant program tips XLA's fusion passes into pathological compile
         times at whole-slide sizes).
         """
-        key = (ph, pw)
+        key = (ph, pw, c_in)
         if key in self._jitted:
             return self._jitted[key]
 
@@ -87,6 +87,15 @@ class Predictor:
                 norm = normalize_image_jax(padded_u8).astype(jnp.float32)
             else:
                 norm = padded_u8.astype(jnp.float32)
+            # channel fixup ON DEVICE (host repeat would triple the H2D
+            # transfer): grayscale → 3-repeat, 2ch → zero-pad. Identical to
+            # the reference's host fixup since per-channel normalization
+            # commutes with repeating/zero-padding channels.
+            if norm.shape[-1] == 1:
+                norm = jnp.repeat(norm, 3, axis=-1)
+            elif norm.shape[-1] == 2:
+                norm = jnp.concatenate(
+                    [norm, jnp.zeros_like(norm[..., :1])], axis=-1)
             # reference: test_npy01 = pre_img_data / np.max(pre_img_data)
             denom = jnp.maximum(jnp.max(norm), 1e-8)
             return norm / denom
@@ -123,17 +132,18 @@ class Predictor:
     def predict(self, img: np.ndarray) -> np.ndarray:
         """Raw image (H, W[, C]) or multipage stack (N, H, W) → int32
         instance label map (H, W); pages are treated as channel planes
-        (see io.to_hwc3)."""
-        from ..io.images import to_hwc3
+        (see io.to_hwc3). Grayscale uploads one channel; the 3-channel
+        expansion happens on device."""
+        from ..io.images import to_hwc_raw
 
-        img = to_hwc3(img)
-        h, w = img.shape[:2]
+        img = to_hwc_raw(img)
+        h, w, c = img.shape
         stride = max(int(self.roi * (1 - self.overlap)), 1)
         ph = _bucket_up(h, self.bucket, self.roi, stride)
         pw = _bucket_up(w, self.bucket, self.roi, stride)
-        padded = np.zeros((ph, pw, 3), img.dtype)
+        padded = np.zeros((ph, pw, c), img.dtype)
         padded[:h, :w] = img
-        run = self._program(ph, pw)
+        run = self._program(ph, pw, c)
         labels, _ = run(self.params, jnp.asarray(padded),
                         jnp.int32(h), jnp.int32(w))
         return np.asarray(labels)[:h, :w].astype(np.int32)
@@ -158,17 +168,17 @@ class Predictor:
             labels, h, w = item
             return np.asarray(labels)[:h, :w].astype(np.int32)
 
-        from ..io.images import to_hwc3
+        from ..io.images import to_hwc_raw
 
         for img in imgs:
-            img = to_hwc3(img)
-            h, w = img.shape[:2]
+            img = to_hwc_raw(img)
+            h, w, c = img.shape
             stride = max(int(self.roi * (1 - self.overlap)), 1)
             ph = _bucket_up(h, self.bucket, self.roi, stride)
             pw = _bucket_up(w, self.bucket, self.roi, stride)
-            padded = np.zeros((ph, pw, 3), img.dtype)
+            padded = np.zeros((ph, pw, c), img.dtype)
             padded[:h, :w] = img
-            run = self._program(ph, pw)
+            run = self._program(ph, pw, c)
             labels, _ = run(self.params, jnp.asarray(padded),
                             jnp.int32(h), jnp.int32(w))
             pending.append((labels, h, w))

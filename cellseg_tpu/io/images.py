@@ -35,6 +35,21 @@ def imread(path: str) -> np.ndarray:
         return np.asarray(im)
 
 
+def to_hwc_raw(img: np.ndarray) -> np.ndarray:
+    """Like to_hwc3 but WITHOUT materializing the 3-channel expansion:
+    returns (H, W, C) with C in {1, 2, 3}. Callers that upload to an
+    accelerator should expand channels on device — repeating grayscale on
+    the host triples the H2D transfer for nothing."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        return img[..., None]
+    if img.ndim != 3:
+        raise ValueError(f"unsupported image rank {img.ndim}: {img.shape}")
+    if img.shape[-1] > 4 and img.shape[0] <= 16:
+        img = np.moveaxis(img, 0, -1)
+    return img[..., :3]
+
+
 def to_hwc3(img: np.ndarray) -> np.ndarray:
     """Coerce any supported raw input layout to (H, W, 3).
 

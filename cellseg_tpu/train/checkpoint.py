@@ -50,7 +50,7 @@ def restore_params(path: str, params_template: Any) -> tuple[Any, dict]:
     """Load params shaped like `params_template`; returns (params, payload)."""
     payload = load_checkpoint(path)
     params = serialization.from_state_dict(params_template, payload["params"])
-    return params, payload
+    return jax.device_put(params), payload
 
 
 def save_sidecar(directory: str, config: dict) -> None:
@@ -87,4 +87,8 @@ def load_model_for_inference(model_dir: str, checkpoint: str = "best_model.ckpt"
                        cfg.get("in_channels", 3)), jnp.float32)
     template = model.init(jax.random.PRNGKey(0), dummy)
     params = serialization.from_state_dict(template, payload["params"])
+    # from_state_dict leaves are host numpy arrays; without an explicit
+    # device_put every jitted call re-uploads the full parameter set
+    # (megabytes per stage per image over a tunnel/PCIe link)
+    params = jax.device_put(params)
     return model, params, cfg

@@ -107,3 +107,29 @@ def test_predictor_accepts_multipage_stack():
     assert labels.shape == (48, 40)  # (H, W), not (48, 2) nonsense
     assert labels.max() == 1
     assert labels[20, 20] == 1 and labels[2, 2] == 0
+
+
+def test_predictor_grayscale_device_expansion_parity():
+    """Grayscale uploads 1 channel and expands on device; labels must be
+    identical to feeding the host-expanded 3-channel image."""
+    import jax.numpy as jnp
+
+    from cellseg_tpu.infer.predictor import Predictor
+    from cellseg_tpu.io import to_hwc3
+
+    def apply_fn(params, tiles):
+        bright = tiles[..., :3].mean(-1) > 0.5
+        interior = jnp.where(bright, 5.0, -5.0)
+        return jnp.stack([-interior, interior,
+                          jnp.full_like(interior, -5.0)], axis=-1)
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 60, (70, 50)).astype(np.uint8)
+    img[10:30, 10:30] = 220
+    img[40:60, 20:45] = 200
+
+    pred = Predictor(apply_fn, params={}, roi=32, sw_batch=2, bucket=32)
+    lab_grey = pred.predict(img)            # (H, W) → 1-channel upload
+    lab_rgb = pred.predict(to_hwc3(img))    # host-expanded 3-channel
+    np.testing.assert_array_equal(lab_grey, lab_rgb)
+    assert lab_grey.max() >= 2
