@@ -81,6 +81,7 @@ def main(argv=None):
         save_name = args.save_name
         if save_name.endswith(".csv"):
             save_name = save_name[:-4]
+        os.makedirs(args.output_path, exist_ok=True)
         df.to_csv(join(args.output_path, f"{save_name}-{threshold}.csv"),
                   index=False)
         print("threshold:", threshold,

@@ -32,6 +32,13 @@ def main(argv=None):
     parser.add_argument("--apply_clahe", action="store_true")
     parser.add_argument("--artifact_correction", action="store_true")
     parser.add_argument("--apply_merging", action="store_true")
+    parser.add_argument("--n_splitting", default=40, type=int,
+                        help="3D stacks: min cell count that triggers "
+                             "local-maxima re-seeding (reference "
+                             "postprocessing.py:115-135)")
+    parser.add_argument("--fuse_z_seeds", action="store_true",
+                        help="3D stacks: fuse seeds across adjacent "
+                             "z-slices (reference :137-141)")
     parser.add_argument("--cell_type", default="", type=str,
                         help="CTC cell type for FOI correction")
     args = parser.parse_args(argv)
@@ -59,9 +66,15 @@ def main(argv=None):
     for name in list_images(args.input_path):
         img = np.asarray(imread(join(args.input_path, name)))
         t0 = time.time()
-        labels = predictor.predict(img)
-        if args.apply_merging:
-            labels = apply_merging(labels, predictor.last_border)
+        if img.ndim == 3 and img.shape[-1] > 4:
+            # multipage z-stack (Z, H, W): slice-wise net + 3D decode
+            labels = predictor.predict_volume(
+                img, n_splitting=args.n_splitting,
+                fuse_z_seeds=args.fuse_z_seeds)
+        else:
+            labels = predictor.predict(img)
+            if args.apply_merging:
+                labels = apply_merging(labels, predictor.last_border)
         if args.cell_type:
             labels = foi_correction(labels, args.cell_type)
         results[name] = labels

@@ -33,6 +33,9 @@ def main(argv=None):
     parser.add_argument("--max_epochs", default=2000, type=int)
     parser.add_argument("--val_interval", default=2, type=int)
     parser.add_argument("--epoch_tolerance", default=100, type=int)
+    parser.add_argument("--min_val_epoch", default=20, type=int,
+                        help="first epoch eligible for validation "
+                             "(reference validates after epoch 20)")
     parser.add_argument("--initial_lr", type=float, default=6e-4)
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"])
@@ -53,6 +56,7 @@ def main(argv=None):
         max_epochs=args.max_epochs,
         val_interval=args.val_interval,
         epoch_tolerance=args.epoch_tolerance,
+        min_val_epoch=args.min_val_epoch,
         initial_lr=args.initial_lr,
         dtype=args.dtype,
         augment=not args.no_augment,

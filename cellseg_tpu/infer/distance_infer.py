@@ -65,6 +65,41 @@ class DistancePredictor:
             self._jitted[shape] = f
         return self._jitted[shape]
 
+    def predict_volume(self, stack: np.ndarray, n_splitting: int = 40,
+                       fuse_z_seeds: bool = False) -> np.ndarray:
+        """(Z, H, W) stack → 3D instance labels: the 2D net runs per slice
+        (the reference trains 2D nets and stacks slice predictions for 3D
+        data, inference.py 3D usage), then the 3D decode
+        (decode/distance3d.py) handles splitting/fusing/watershed."""
+        from ..decode.distance3d import decode_distance_3d
+
+        borders, cells = [], []
+        for z in range(stack.shape[0]):
+            b, c = self.predict_raw(stack[z])
+            borders.append(b)
+            cells.append(c)
+        return decode_distance_3d(np.stack(borders), np.stack(cells),
+                                  th_cell=self.th_cell,
+                                  th_seed=self.th_seed,
+                                  n_splitting=n_splitting,
+                                  fuse_z_seeds=fuse_z_seeds)
+
+    def predict_raw(self, img: np.ndarray):
+        """2D image → (border, cell) float predictions (no decode)."""
+        img = np.asarray(img)
+        if img.ndim == 3:
+            img = img.mean(axis=-1)
+        lo, hi = float(img.min()), float(img.max())
+        u16 = (65535 * (img.astype(np.float64) - lo) / max(hi - lo, 1e-9)
+               ).astype(np.uint16)
+        if self.use_clahe:
+            u16 = apply_clahe(u16)
+        x = u16.astype(np.float32) / 65535.0 * 2.0 - 1.0
+        padded, h, w = pad_to_bucket(x)
+        fwd = self._forward(padded.shape)
+        border, cell = fwd(self.params, jnp.asarray(padded[..., None]))
+        return np.asarray(border)[:h, :w], np.asarray(cell)[:h, :w]
+
     def predict(self, img: np.ndarray) -> np.ndarray:
         img = np.asarray(img)
         if img.ndim == 3:

@@ -93,14 +93,19 @@ def _pil_mode_for(arr: np.ndarray) -> Image.Image:
 
 
 def imwrite(path: str, arr: np.ndarray, compress: bool = True) -> None:
-    """Write an image; TIFFs get zlib (deflate) compression by default."""
+    """Write an image; TIFFs get zlib (deflate) compression by default.
+
+    A 3D integer array with a non-channel trailing axis is written as a
+    multipage TIFF (one page per leading-axis slice — z-stack labels)."""
     arr = np.asarray(arr)
-    im = _pil_mode_for(arr)
     ext = os.path.splitext(path)[1].lower()
-    if ext in (".tif", ".tiff") and compress:
-        im.save(path, compression="tiff_deflate")
-    else:
-        im.save(path)
+    kw = ({"compression": "tiff_deflate"}
+          if ext in (".tif", ".tiff") and compress else {})
+    if arr.ndim == 3 and arr.shape[-1] > 4:
+        pages = [_pil_mode_for(arr[z]) for z in range(arr.shape[0])]
+        pages[0].save(path, save_all=True, append_images=pages[1:], **kw)
+        return
+    _pil_mode_for(arr).save(path, **kw)
 
 
 def imwrite_instance_tiff(path: str, labels: np.ndarray) -> None:

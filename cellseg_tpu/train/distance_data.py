@@ -459,3 +459,69 @@ def get_max_epochs(n_samples: int) -> int:
     if n_samples >= 50:
         return 480
     return 560
+
+
+def combine_training_sets(set_dirs: dict[str, str], output_path: str,
+                          mode: str = "GT", seed: int = 2022,
+                          n_max_train_gt_st: int = 150,
+                          n_max_val_gt_st: int = 30) -> dict:
+    """Combine per-cell-type trainsets into one multi-cell-type set with
+    the reference's anti-imbalance selection
+    (create_training_sets.py:868-975):
+
+      - GT+ST: shuffled per-cell-type caps (n_max_train/n_max_val)
+      - GT/ST: neighbor-aware subsampling — crops WITHOUT neighbor
+        information are kept with a probability that shrinks as the
+        per-type set grows (the p_no_neighbor ladder, :929-948)
+
+    set_dirs: {cell_type: prepared trainset dir (train/ + val/ .npz)}.
+    """
+    import shutil
+
+    rng = np.random.RandomState(seed)
+    for split in ("train", "val"):
+        os.makedirs(join(output_path, split), exist_ok=True)
+    counts: dict = {"train": {}, "val": {}}
+
+    for ct, src in set_dirs.items():
+        files = {s: sorted(f for f in os.listdir(join(src, s))
+                           if f.endswith(".npz"))
+                 for s in ("train", "val")}
+        if mode == "GT+ST":
+            n_max = {"train": n_max_train_gt_st, "val": n_max_val_gt_st}
+            for s in ("train", "val"):
+                picks = list(files[s])
+                rng.shuffle(picks)
+                picks = picks[:n_max[s]]
+                for f in picks:
+                    shutil.copy(join(src, s, f),
+                                join(output_path, s, f"{ct}_{f}"))
+                counts[s][ct] = len(picks)
+            continue
+
+        n_total = len(files["train"]) + len(files["val"])
+        p_neighbor, p_no_neighbor = 1.0, 1.0
+        if mode == "ST":
+            p_neighbor, p_no_neighbor = 0.9, 0.6
+        elif mode == "GT":
+            if n_total > 150:
+                p_no_neighbor = 0.5
+            elif n_total > 75:
+                p_no_neighbor = 0.75
+        for s in ("train", "val"):
+            kept = 0
+            for f in files[s]:
+                z = np.load(join(src, s, f))
+                has_neighbor = bool((z["dist_neighbor"] > 0).any())
+                p = p_neighbor if has_neighbor else p_no_neighbor
+                if rng.rand() > p:
+                    continue
+                shutil.copy(join(src, s, f),
+                            join(output_path, s, f"{ct}_{f}"))
+                kept += 1
+            counts[s][ct] = kept
+
+    counts["scale"] = 1
+    with open(join(output_path, "info.json"), "w") as f:
+        json.dump(counts, f, indent=2)
+    return counts

@@ -89,3 +89,38 @@ def test_label_components_fuzz_large(rng):
                                               connectivity=conn))
             want = connected_components(m, connectivity=conn)
             assert np.array_equal(got, want), (p, conn)
+
+
+def test_coarse_seeded_roots_match_plain():
+    """Multigrid coarse seeding must reach the identical fixed point
+    (component-min index) as plain init on adversarial masks."""
+    from cellseg_tpu.ops.cc import _root_labels
+
+    rng = np.random.RandomState(11)
+    masks = []
+    # random speckle at several densities (block-pure and crust regions)
+    for p in (0.2, 0.5, 0.8, 0.95):
+        masks.append(rng.rand(128, 128) < p)
+    # spiral corridor: one long component winding through the image
+    spiral = np.zeros((128, 128), bool)
+    x0, x1, y0, y1 = 0, 127, 0, 127
+    while x0 < x1 and y0 < y1:
+        spiral[y0, x0:x1 + 1] = True
+        spiral[y0:y1 + 1, x1] = True
+        spiral[y1, x0:x1 + 1] = True
+        spiral[y0:y1 + 1, x0] = True
+        x0 += 8; x1 -= 8; y0 += 8; y1 -= 8
+    masks.append(spiral)
+    # two large regions joined by a 1px corridor through a partial block
+    two = np.zeros((128, 128), bool)
+    two[:, :56] = True
+    two[:, 72:] = True
+    two[64, 56:72] = True
+    masks.append(two)
+    for i, m in enumerate(masks):
+        for conn in (1, 2):
+            plain = np.asarray(_root_labels(m, connectivity=conn))
+            seeded = np.asarray(_root_labels(m, connectivity=conn,
+                                             coarse_seed=True))
+            np.testing.assert_array_equal(plain, seeded,
+                                          err_msg=f"mask {i} conn {conn}")

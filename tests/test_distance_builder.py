@@ -172,3 +172,44 @@ def test_frozen_split_reproduction(tmp_path):
     s1 = json.load(open(os.path.join(out1, "split.json")))
     s2 = json.load(open(os.path.join(out2, "split.json")))
     assert s1 == s2
+
+
+def test_combine_training_sets_caps_and_subsampling(tmp_path):
+    """Multi-cell-type combination: GT+ST per-type caps and GT
+    neighbor-aware subsampling (reference :868-975)."""
+    from cellseg_tpu.train.distance_data import combine_training_sets
+
+    def mk_set(name, n_train, with_neighbor):
+        root = tmp_path / name
+        for s, n in (("train", n_train), ("val", 3)):
+            (root / s).mkdir(parents=True)
+            for i in range(n):
+                np.savez(str(root / s / f"c_{i:03d}.npz"),
+                         img=np.zeros((8, 8), np.uint16),
+                         dist_cell=np.zeros((8, 8), np.float32),
+                         dist_neighbor=(np.ones((8, 8), np.float32)
+                                        if with_neighbor
+                                        else np.zeros((8, 8), np.float32)),
+                         mask=np.zeros((8, 8), bool))
+        return str(root)
+
+    a = mk_set("typeA", 20, True)
+    b = mk_set("typeB", 20, True)
+    out = str(tmp_path / "combined")
+    info = combine_training_sets({"A": a, "B": b}, out, mode="GT+ST",
+                                 n_max_train_gt_st=5, n_max_val_gt_st=2)
+    assert info["train"] == {"A": 5, "B": 5}
+    assert info["val"] == {"A": 2, "B": 2}
+    files = os.listdir(os.path.join(out, "train"))
+    assert len(files) == 10 and any(f.startswith("A_") for f in files)
+
+    # GT mode, small sets, all with neighbors → everything kept
+    out2 = str(tmp_path / "combined2")
+    info2 = combine_training_sets({"A": a, "B": b}, out2, mode="GT")
+    assert info2["train"] == {"A": 20, "B": 20}
+
+    # GT mode, big no-neighbor set → p_no_neighbor = 0.5 subsampling
+    big = mk_set("typeC", 160, False)
+    out3 = str(tmp_path / "combined3")
+    info3 = combine_training_sets({"C": big}, out3, mode="GT", seed=1)
+    assert 50 <= info3["train"]["C"] <= 110  # ~0.5 * 160
