@@ -33,6 +33,9 @@ def main(argv=None):
     parser.add_argument("--max_epochs", default=None, type=int)
     parser.add_argument("--pre_train", action="store_true",
                         help="autoencoder-pretrain the encoder first")
+    parser.add_argument("--retrain", default=None, type=str,
+                        help="warm-start from an old model dir "
+                             "(arch-checked; reference train.py:114-122)")
     parser.add_argument("--seed", default=2022, type=int)
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"])
@@ -65,6 +68,7 @@ def main(argv=None):
             seed=args.seed + it,
             dtype=args.dtype,
             pretrain=args.pre_train,
+            retrain=args.retrain,
         )
         res = train_distance(cfg)
         print(f"run {it}: best val loss {res['best_val_loss']:.5f} "

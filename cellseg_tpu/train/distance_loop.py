@@ -47,6 +47,7 @@ class DistanceTrainConfig:
     augment: bool = True  # KIT-GE augmentors (on device)
     pretrain: bool = False  # autoencoder-pretrain the encoder first
     pretrain_epochs: int = 60
+    retrain: str | None = None  # warm-start from an old model dir
     n_devices: int | None = None  # data-parallel mesh size (None = all)
 
 
@@ -96,6 +97,27 @@ def train_distance(cfg: DistanceTrainConfig) -> dict:
     crop = sample.shape[0]
     rng = jax.random.PRNGKey(cfg.seed)
     params = model.init(rng, jnp.zeros((1, crop, crop, 1), jnp.float32))
+
+    if cfg.pretrain and cfg.retrain:
+        raise ValueError("Use either --pre_train or --retrain, not both "
+                         "(reference train.py:111-112)")
+    if cfg.retrain:
+        # warm-start from an old model with architecture check
+        # (reference train.py:114-122)
+        import json as _json
+
+        from .checkpoint import restore_params
+
+        with open(join(cfg.retrain, "config.json")) as f:
+            old_cfg = _json.load(f)
+        old_ch = list(old_cfg.get("architecture", {}).get("channels", []))
+        if old_ch and old_ch != list(cfg.channels):
+            raise ValueError(
+                f"Architecture of model to retrain does not match: "
+                f"{old_ch} vs {list(cfg.channels)}")
+        params, _ = restore_params(join(cfg.retrain, "best_model.ckpt"),
+                                   params)
+        print(f"retraining from {cfg.retrain}")
 
     if cfg.pretrain:
         # KIT-GE --pre_train flow: autoencoder pretraining on the training
