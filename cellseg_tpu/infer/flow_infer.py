@@ -102,7 +102,7 @@ class FlowPredictor:
             self._jitted[key] = f
         padded = np.zeros((ph, pw, 1), np.float32)
         padded[:h, :w, 0] = grey
-        out = self._jitted[key](self.params, __import__("jax").numpy.asarray(padded))
+        out = self._jitted[key](self.params, jnp.asarray(padded))
         return np.asarray(out)[:h, :w]
 
     # -- public API -------------------------------------------------------
