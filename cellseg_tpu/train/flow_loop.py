@@ -68,7 +68,26 @@ class FlowCropDataset:
     def __len__(self):
         return len(self.samples)
 
-    def batches(self, batch_size: int, steps: int):
+    @staticmethod
+    def _dihedral(crop: np.ndarray, k: int, flip: bool) -> np.ndarray:
+        """Apply a dihedral-group element to (H, W, 4) [grey, fy, fx, mask]
+        with the matching flow-VECTOR transform (rot90 swaps/negates the
+        components; flips negate one): the augmented flow field is exactly
+        the field of the augmented mask (cellpose trains with such
+        rotation/flip augmentation)."""
+        out = crop
+        if flip:
+            out = out[:, ::-1]  # horizontal flip: x -> -x
+            out = np.concatenate([out[..., :1], out[..., 1:2],
+                                  -out[..., 2:3], out[..., 3:]], axis=-1)
+        for _ in range(k % 4):
+            # rot90 CCW: (y, x) -> (-x, y); vectors (fy, fx) -> (-fx, fy)
+            out = np.rot90(out, axes=(0, 1))
+            out = np.concatenate([out[..., :1], -out[..., 2:3],
+                                  out[..., 1:2], out[..., 3:]], axis=-1)
+        return np.ascontiguousarray(out)
+
+    def batches(self, batch_size: int, steps: int, augment: bool = True):
         sz = self.input_size
         for _ in range(steps):
             batch = []
@@ -76,7 +95,11 @@ class FlowCropDataset:
                 s = self.samples[self.rng.randint(len(self.samples))]
                 y = self.rng.randint(0, s.shape[0] - sz + 1)
                 x = self.rng.randint(0, s.shape[1] - sz + 1)
-                batch.append(s[y:y + sz, x:x + sz])
+                crop = s[y:y + sz, x:x + sz]
+                if augment:
+                    crop = self._dihedral(crop, self.rng.randint(4),
+                                          bool(self.rng.randint(2)))
+                batch.append(crop)
             b = np.stack(batch)
             yield (b[..., :1], b[..., 1:3], b[..., 3] > 0.5)
 
@@ -173,7 +196,7 @@ def train_flow(cfg: FlowTrainConfig) -> dict:
         vals = [
             float(eval_step(state.params, jnp.asarray(i), jnp.asarray(f),
                             jnp.asarray(m)))
-            for i, f, m in val_ds.batches(cfg.batch_size, 2)
+            for i, f, m in val_ds.batches(cfg.batch_size, 2, augment=False)
         ]
         val_loss = float(np.mean(vals))
         history.append((train_loss, val_loss))

@@ -29,3 +29,42 @@ def test_train_flow_tiny(tmp_path):
     assert os.path.exists(os.path.join(res["model_path"], "best_model.ckpt"))
     first, last = res["history"][0][0], res["history"][-1][0]
     assert last < first, (first, last)
+
+
+def test_dihedral_flow_augmentation_consistency():
+    """The augmented flow field must equal the flow field DERIVED from the
+    augmented mask — i.e. the vector transform matches the spatial one."""
+    import numpy as np
+
+    from cellseg_tpu.pipeline.flow_labels import masks_to_flows
+    from cellseg_tpu.train.flow_loop import FlowCropDataset
+
+    # odd cell extents on an even canvas: the flow generator snaps its
+    # diffusion seed to the centroid pixel, which only maps onto itself
+    # under the dihedral group when extents are odd — with even extents
+    # the seed shifts by one pixel and the comparison develops genuine
+    # (tiny-region) differences that are the generator's, not the
+    # augmentation's.
+    lbl = np.zeros((40, 40), np.int32)
+    lbl[6:19, 4:17] = 1   # 13x13, asymmetric placement
+    lbl[24:37, 22:35] = 2
+    flow, mask = masks_to_flows(lbl)
+    grey = (lbl > 0).astype(np.float32)
+    stack = np.concatenate([grey[None], flow, mask[None].astype(np.float32)],
+                           axis=0)
+    stack = np.moveaxis(stack, 0, -1)  # (H, W, 4)
+
+    for k in range(4):
+        for flip in (False, True):
+            aug = FlowCropDataset._dihedral(stack, k, flip)
+            # derive the ground-truth field from the transformed label map
+            lbl_t = lbl.copy()
+            if flip:
+                lbl_t = lbl_t[:, ::-1]
+            lbl_t = np.rot90(lbl_t, k=k)
+            flow_t, _ = masks_to_flows(np.ascontiguousarray(lbl_t))
+            diff = np.abs(aug[..., 1:3] - np.moveaxis(flow_t, 0, -1))
+            # at each cell's heat-seed pixel the gradient is singular and
+            # its normalized sign is arbitrary — allow one pixel per cell
+            n_bad = int((diff.max(axis=-1) > 1e-4).sum())
+            assert n_bad <= 2, (k, flip, n_bad, float(diff.max()))
