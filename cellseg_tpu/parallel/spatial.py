@@ -362,7 +362,7 @@ class SpatialPredictor:
 
     def __init__(self, apply_fn, params, mesh: Mesh, roi: int = 256,
                  sw_batch: int = 8, overlap: float = 0.25,
-                 num_class: int = 3):
+                 num_class: int = 3, normalize: bool = True):
         self.apply_fn = apply_fn
         self.params = params
         self.mesh = mesh
@@ -370,18 +370,38 @@ class SpatialPredictor:
         self.sw_batch = sw_batch
         self.overlap = overlap
         self.num_class = num_class
+        self.normalize = normalize
         self._progs = {}
 
-    def _program(self, h_pad: int, w_pad: int, true_h: int, true_w: int):
-        key = (h_pad, w_pad, true_h, true_w)
+    def _program(self, h_pad: int, w_pad: int, true_h: int, true_w: int,
+                 c_in: int):
+        key = (h_pad, w_pad, true_h, true_w, c_in)
         if key in self._progs:
             return self._progs[key]
         mesh = self.mesh
 
         @jax.jit
         def run(params, dimg):
+            # same input contract as the single-chip Predictor: raw bytes
+            # in, percentile normalize + /max + channel expansion on
+            # device. The percentiles are GLOBAL statistics; under the
+            # sharded input XLA lowers the histogram/max reductions to
+            # cross-shard collectives automatically.
+            if self.normalize:
+                from ..pipeline.normalize import normalize_image_jax
+
+                x = normalize_image_jax(dimg).astype(jnp.float32)
+            else:
+                x = dimg.astype(jnp.float32)
+            if x.shape[-1] == 1:
+                x = jnp.repeat(x, 3, axis=-1)
+            elif x.shape[-1] == 2:
+                x = jnp.concatenate(
+                    [x, jnp.zeros_like(x[..., :1])], axis=-1)
+            if self.normalize:
+                x = x / jnp.maximum(jnp.max(x), 1e-8)
             logits = spatial_sliding_window(
-                self.apply_fn, params, dimg, mesh, roi=self.roi,
+                self.apply_fn, params, x, mesh, roi=self.roi,
                 sw_batch=self.sw_batch, overlap=self.overlap,
                 out_channels=self.num_class)
             interior = jax.nn.softmax(logits, axis=-1)[..., 1]
@@ -400,28 +420,38 @@ class SpatialPredictor:
         return run
 
     def predict(self, image: np.ndarray) -> np.ndarray:
+        """Raw image (H, W[, C]) → instance labels; channels are expanded
+        and normalized on device (1-channel grayscale uploads stay 1
+        channel over the link)."""
+        from ..io.images import to_hwc_raw
+
+        image = to_hwc_raw(image)
         n_dev = self.mesh.shape[AXIS]
-        h, w = image.shape[:2]
+        h, w, c = image.shape
         stride = int(self.roi * (1 - self.overlap))
         h_pad, w_pad, _ = pad_for_mesh(h, w, n_dev, self.roi, stride)
-        padded = np.zeros((h_pad, w_pad, image.shape[2]), np.float32)
+        padded = np.zeros((h_pad, w_pad, c),
+                          image.dtype if self.normalize else np.float32)
         padded[:h, :w] = image
         sharding = NamedSharding(self.mesh, P(AXIS, None, None))
         dimg = jax.device_put(jnp.asarray(padded), sharding)
-        run = self._program(h_pad, w_pad, h, w)
+        run = self._program(h_pad, w_pad, h, w, c)
         labels = run(self.params, dimg)
         return np.asarray(jax.device_get(labels))[:h, :w]
 
 
 def spatial_predict(apply_fn, params, image: np.ndarray, mesh: Mesh,
                     roi: int = 256, sw_batch: int = 8, overlap: float = 0.25,
-                    num_class: int = 3) -> np.ndarray:
-    """Full sharded pipeline: float image (H, W, C) → instance labels.
+                    num_class: int = 3, normalize: bool = False) -> np.ndarray:
+    """Full sharded pipeline: model-ready float image (H, W, C) →
+    instance labels (normalize=False). Pass normalize=True (or use
+    SpatialPredictor, whose default matches the single-chip Predictor) for
+    raw byte inputs.
 
     One-shot convenience wrapper; reuse a SpatialPredictor for repeated
     slides of the same shape.
     """
     return SpatialPredictor(
         apply_fn, params, mesh, roi=roi, sw_batch=sw_batch,
-        overlap=overlap, num_class=num_class,
+        overlap=overlap, num_class=num_class, normalize=normalize,
     ).predict(image)

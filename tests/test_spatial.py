@@ -117,3 +117,30 @@ def test_spatial_predict_end_to_end(mesh):
     probs[:, w:] = 0
     want = relabel_sequential(decode_interior_prob_host(probs)[:h, :w])
     assert np.array_equal(got, want)
+
+
+def test_spatial_predictor_device_normalization_parity(mesh):
+    """SpatialPredictor's on-device percentile normalize + grayscale
+    expansion (global stats under sharding) must equal host
+    normalization + host channel expansion fed through normalize=False."""
+    from cellseg_tpu.parallel.spatial import SpatialPredictor
+    from cellseg_tpu.pipeline.normalize import normalize_image
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (200, 120), dtype=np.uint8)
+    img[40:80, 30:70] = 230  # a bright blob so the decode finds something
+
+    def apply_fn(params, tiles):
+        g = tiles.mean(-1, keepdims=True)
+        return jnp.concatenate([1.0 - g * 4.0, g * 4.0 - 1.0,
+                                jnp.zeros_like(g)], axis=-1)
+
+    dev = SpatialPredictor(apply_fn, None, mesh, roi=64, sw_batch=4,
+                           normalize=True).predict(img)
+
+    host_norm = normalize_image(img).astype(np.float32)  # (H, W, 3) u8→
+    host_norm = host_norm / max(host_norm.max(), 1e-8)
+    ref = SpatialPredictor(apply_fn, None, mesh, roi=64, sw_batch=4,
+                           normalize=False).predict(host_norm)
+    np.testing.assert_array_equal(dev, ref)
+    assert dev.max() >= 1
