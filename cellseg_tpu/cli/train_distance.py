@@ -22,6 +22,11 @@ def main(argv=None):
     parser.add_argument("--trainset_dir", default=None, type=str,
                         help="where to build/cache the crop trainset")
     parser.add_argument("--crop_size", default=320, type=int)
+    parser.add_argument("--cell_radius", default=None, type=int,
+                        help="override the stats-derived EDT window radius")
+    parser.add_argument("--neighbor_radius", default=None, type=int,
+                        help="override the stats-derived neighbor search "
+                             "radius (reference: mean+std diameter)")
     parser.add_argument("--batch_size", default=8, type=int)
     parser.add_argument("--loss", default="smooth_l1",
                         choices=["smooth_l1", "l1", "mse"])
@@ -51,7 +56,9 @@ def main(argv=None):
         if not os.path.isdir(os.path.join(trainset, "train")):
             print(f"building distance trainset in {trainset}")
             info = create_distance_training_set(
-                data, trainset, crop_size=args.crop_size, seed=args.seed)
+                data, trainset, crop_size=args.crop_size, seed=args.seed,
+                cell_radius=args.cell_radius,
+                neighbor_radius=args.neighbor_radius)
             print("trainset:", info)
         data = trainset
 

@@ -240,7 +240,9 @@ def create_distance_training_set(input_path: str, output_path: str,
                                  ctc_mode: str | None = None,
                                  cell_type: str = "",
                                  st_limit: int = 280,
-                                 frozen_split: str | None = None) -> dict:
+                                 frozen_split: str | None = None,
+                                 cell_radius: int | None = None,
+                                 neighbor_radius: int | None = None) -> dict:
     """Build a distance-regression training set.
 
     input_path: either NeurIPS format (images/ + labels/ with
@@ -280,25 +282,32 @@ def create_distance_training_set(input_path: str, output_path: str,
     return _create_from_pairs(pairs, output_path, crop_size, val_frac,
                               min_cell_area, seed, cell_type=cell_type,
                               gt_st=(ctc_mode == "GT+ST"),
-                              frozen_split=frozen_split)
+                              frozen_split=frozen_split,
+                              cell_radius=cell_radius,
+                              neighbor_radius=neighbor_radius)
 
 
 def _create_from_pairs(pairs, output_path: str, crop_size: int,
                        val_frac: float, min_cell_area: int, seed: int,
                        cell_type: str = "", gt_st: bool = False,
-                       frozen_split: str | None = None) -> dict:
+                       frozen_split: str | None = None,
+                       cell_radius: int | None = None,
+                       neighbor_radius: int | None = None) -> dict:
     from ..pipeline.distance_labels import distance_label_2d
 
     os.makedirs(join(output_path, "train"), exist_ok=True)
     os.makedirs(join(output_path, "val"), exist_ok=True)
 
-    # pass 1: dataset-wide settings from all labels
+    # pass 1: dataset-wide settings from all labels; explicit radius
+    # overrides win (the reference's formula — search radius mean+std
+    # diameter — is tuned for dense cultures and can underserve sparse
+    # data; see BASELINE.md)
     labels = [np.asarray(imread(lbl)) for _, lbl, _ in pairs]
     settings = compute_td_settings(labels, crop_size)
     settings["min_area"] = max(float(settings["min_area"]),
                                float(min_cell_area))
-    cell_radius = int(np.ceil(0.5 * settings["max_mal"]))
-    neighbor_radius = int(settings["search_radius"])
+    cell_radius = cell_radius or int(np.ceil(0.5 * settings["max_mal"]))
+    neighbor_radius = neighbor_radius or int(settings["search_radius"])
     scale = settings["scale"]
 
     # pass 2: distances, crop grid, quality gates
