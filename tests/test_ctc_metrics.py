@@ -219,3 +219,18 @@ def test_sequence_missing_result_frame(tmp_path):
     # frame 2 now contributes 2 FNs (cost 20) instead of 10:
     # DET = 1 - (0+5+20)/60
     assert abs(out["DET"] - (1 - 25 / 60)) < 1e-9
+
+
+def test_ctc_measure_cli(tmp_path, capsys):
+    """The binary-shaped CLI prints 'SEG measure: x' / 'DET measure: x'."""
+    import os
+
+    from cellseg_tpu.cli.ctc_measure import main
+
+    data_root, res_dir = _write_ctc_eval_tree(str(tmp_path))
+    # move results into the <root>/01_RES layout the CLI defaults to
+    os.rename(res_dir, os.path.join(data_root, "01_RES"))
+    main([data_root, "01"])
+    out = capsys.readouterr().out
+    assert "SEG measure: 0.666667" in out
+    assert "DET measure: 0.750000" in out
