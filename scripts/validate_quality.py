@@ -52,7 +52,8 @@ def main():
     p.add_argument("--out", default="/tmp/cellseg_quality")
     p.add_argument("--n_images", type=int, default=40)
     p.add_argument("--epochs3c", type=int, default=120)
-    p.add_argument("--epochs_dist", type=int, default=50)
+    p.add_argument("--epochs_dist", type=int, default=None,
+                   help="None = dataset-scaled default (get_max_epochs)")
     p.add_argument("--epochs_flow", type=int, default=60)
     p.add_argument("--pipelines", nargs="+",
                    default=["3class", "distance", "flow"])
@@ -91,10 +92,12 @@ def main():
         wd = os.path.join(out, "wdd")
         model_dir = os.path.join(wd, "dunet_distance")
         if not os.path.exists(os.path.join(model_dir, "best_model.ckpt")):
-            run([sys.executable, "-m", "cellseg_tpu.cli.train_distance",
-                 "--data_path", train, "--work_dir", wd,
-                 "--crop_size", "320", "--max_epochs",
-                 str(args.epochs_dist)])
+            cmd = [sys.executable, "-m", "cellseg_tpu.cli.train_distance",
+                   "--data_path", train, "--work_dir", wd,
+                   "--crop_size", "320"]
+            if args.epochs_dist:
+                cmd += ["--max_epochs", str(args.epochs_dist)]
+            run(cmd)
         seg = os.path.join(out, "segd")
         run([sys.executable, "-m", "cellseg_tpu.cli.infer_distance",
              "-i", os.path.join(test, "images"), "-o", seg,
