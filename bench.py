@@ -146,6 +146,13 @@ def main():
         stages[name] = round(float(np.median(ts)) * 1e3, 2)  # ms
 
     budget_mps = 0.1  # organizers' 10 s/MP rank-time budget
+    # device-compute-only throughput from the stage budget (net of the
+    # sync RTT): insensitive to the dev tunnel's ambient transfer
+    # contention, which swings the e2e number ~4x hour to hour
+    sync_ms = stages.get("sync_overhead", 0.0)
+    compute_ms = sum(v - sync_ms for k, v in stages.items()
+                     if k != "sync_overhead")
+    compute_mps = round(mp / max(compute_ms, 1e-6) * 1e3, 1)
     print(json.dumps({
         "metric": "sliding_window_instance_seg_throughput",
         "value": round(mps, 3),
@@ -154,6 +161,7 @@ def main():
         "stats": "median of 5 pipelined rounds, trained model",
         "instances_decoded": n_instances,
         "stage_ms_at_4.2MP": stages,
+        "device_compute_only_mps": compute_mps,
         "rates_all_rounds": [round(r, 2) for r in rates],
     }))
     return 0
