@@ -40,6 +40,9 @@ def main(argv=None):
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--no_augment", action="store_true")
+    parser.add_argument("--n_devices", default=None, type=int,
+                        help="data-parallel mesh size (default: largest "
+                             "device count dividing the batch)")
     args = parser.parse_args(argv)
 
     from ..utils.cache import enable_compilation_cache
@@ -60,6 +63,7 @@ def main(argv=None):
         initial_lr=args.initial_lr,
         dtype=args.dtype,
         augment=not args.no_augment,
+        n_devices=args.n_devices,
         resume=args.resume,
     )
     train_3class(cfg)

@@ -38,6 +38,8 @@ def main(argv=None):
     parser.add_argument("--max_epochs", default=None, type=int)
     parser.add_argument("--pre_train", action="store_true",
                         help="autoencoder-pretrain the encoder first")
+    parser.add_argument("--n_devices", default=None, type=int,
+                        help="data-parallel mesh size")
     parser.add_argument("--retrain", default=None, type=str,
                         help="warm-start from an old model dir "
                              "(arch-checked; reference train.py:114-122)")
@@ -76,6 +78,7 @@ def main(argv=None):
             dtype=args.dtype,
             pretrain=args.pre_train,
             retrain=args.retrain,
+            n_devices=args.n_devices,
         )
         res = train_distance(cfg)
         print(f"run {it}: best val loss {res['best_val_loss']:.5f} "

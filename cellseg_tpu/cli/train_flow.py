@@ -19,6 +19,8 @@ def main(argv=None):
     parser.add_argument("--seed", default=2022, type=int)
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--n_devices", default=None, type=int,
+                        help="data-parallel mesh size")
     args = parser.parse_args(argv)
 
     from ..utils.cache import enable_compilation_cache
@@ -33,6 +35,7 @@ def main(argv=None):
         learning_rate=args.learning_rate,
         seed=args.seed,
         dtype=args.dtype,
+        n_devices=args.n_devices,
     )
     res = train_flow(cfg)
     print(f"flow training done: best val {res['best_val_loss']:.4f}")
