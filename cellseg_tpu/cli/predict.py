@@ -47,6 +47,11 @@ def main(argv=None):
     parser.add_argument("--blend", default="constant",
                         choices=["constant", "gaussian"],
                         help="sliding-window blending mode")
+    parser.add_argument("--decode", default="cc",
+                        choices=["cc", "boundary_watershed"],
+                        help="cc = reference parity (CC on interior); "
+                             "boundary_watershed = beyond-parity splitter "
+                             "for touching cells")
     parser.add_argument("--overlap", default=0.25, type=float,
                         help="sliding-window tile overlap fraction")
     parser.add_argument("-h", "--help", action="help")
@@ -85,7 +90,7 @@ def main(argv=None):
         lambda p, t: model.apply(p, t), params,
         roi=args.input_size, sw_batch=args.sw_batch_size,
         num_class=args.num_class, bucket=args.bucket, mode=args.blend,
-        overlap=args.overlap,
+        overlap=args.overlap, decode=args.decode,
     )
 
     images = {}

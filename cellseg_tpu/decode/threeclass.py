@@ -74,3 +74,34 @@ def decode_interior_prob_host(prob_interior: np.ndarray) -> np.ndarray:
     mask = remove_small_holes(mask, area_threshold=64, connectivity=1)
     mask = remove_small_objects(mask, min_size=16, connectivity=1)
     return connected_components(mask, connectivity=2)
+
+
+@jax.jit
+def decode_boundary_watershed(prob_interior: jax.Array,
+                              prob_boundary: jax.Array,
+                              th_seed: float = 0.7) -> jax.Array:
+    """Boundary-aware instance decode for the 3-class head (beyond-parity
+    option; the reference only does CC on interior, predict.py:113, which
+    merges touching cells wherever their boundary ridge thins — measured
+    as a ~12% instance deficit on touching-cell data, see BASELINE.md).
+
+    Same trained model, better decoder: seeds are the eroded cell cores
+    where interior is confidently above the boundary
+    (P_int − P_bnd > th_seed), the mask is the reference's hole/object-
+    filtered interior, and a marker watershed on −P_int assigns the
+    contested ridge pixels. Fully on device.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.watershed import watershed_jax
+
+    mask = prob_interior > 0.5
+    mask = remove_small_holes_jax(mask, area_threshold=64, connectivity=1)
+    mask = remove_small_objects_jax(mask, min_size=16, connectivity=1)
+
+    core = (prob_interior - prob_boundary) > th_seed
+    core = jnp.logical_and(core, mask)
+    core = remove_small_objects_jax(core, min_size=4, connectivity=1)
+    seeds = label_components(core, connectivity=2)
+    labels = watershed_jax(-prob_interior.astype(jnp.float32), seeds, mask)
+    return labels.astype(jnp.int32)

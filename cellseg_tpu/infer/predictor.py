@@ -56,7 +56,7 @@ class Predictor:
     def __init__(self, apply_fn, params, roi: int = 256, sw_batch: int = 4,
                  overlap: float = 0.25, num_class: int = 3,
                  mode: str = "constant", bucket: int = 256,
-                 normalize: bool = True):
+                 normalize: bool = True, decode: str = "cc"):
         self.apply_fn = apply_fn
         self.params = params
         self.roi = roi
@@ -66,6 +66,10 @@ class Predictor:
         self.mode = mode
         self.bucket = bucket
         self.normalize = normalize
+        # "cc": reference parity (CC on interior, predict.py:113);
+        # "boundary_watershed": beyond-parity splitter for touching cells
+        # (decode/threeclass.py:decode_boundary_watershed)
+        self.decode = decode
         self._jitted = {}
 
     def _program(self, ph: int, pw: int, c_in: int = 3):
@@ -100,6 +104,8 @@ class Predictor:
             denom = jnp.maximum(jnp.max(norm), 1e-8)
             return norm / denom
 
+        boundary_ws = self.decode == "boundary_watershed"
+
         @jax.jit
         def stage_forward(params, np01):
             logits = sliding_window_inference(
@@ -108,15 +114,24 @@ class Predictor:
                 out_channels=self.num_class, mode=self.mode,
             )
             probs = jax.nn.softmax(logits, axis=-1)
+            if boundary_ws:
+                return probs[..., 1:3]  # interior + boundary
             return probs[..., 1]
 
         @jax.jit
-        def stage_decode(interior, true_h, true_w):
+        def stage_decode(fwd_out, true_h, true_w):
             rows = jnp.arange(ph)[:, None]
             cols = jnp.arange(pw)[None, :]
             valid = (rows < true_h) & (cols < true_w)
-            interior = jnp.where(valid, interior, 0.0)
-            labels = decode_interior_prob(interior)
+            if boundary_ws:
+                from ..decode.threeclass import decode_boundary_watershed
+
+                interior = jnp.where(valid, fwd_out[..., 0], 0.0)
+                boundary = jnp.where(valid, fwd_out[..., 1], 0.0)
+                labels = decode_boundary_watershed(interior, boundary)
+            else:
+                interior = jnp.where(valid, fwd_out, 0.0)
+                labels = decode_interior_prob(interior)
             # uint16 halves the D2H transfer; cell counts stay below 65k
             return labels.astype(jnp.uint16)
 

@@ -92,3 +92,30 @@ def test_relabel_device_matches_host():
     got = np.asarray(relabel_sequential_device(jnp.asarray(m)))
     want = relabel_sequential(m)
     assert np.array_equal(got, want)
+
+
+def test_boundary_watershed_splits_touching_cells():
+    """The beyond-parity decode splits two touching cells that plain CC
+    merges (decode/threeclass.py:decode_boundary_watershed)."""
+    import numpy as np
+
+    from cellseg_tpu.decode.threeclass import (decode_boundary_watershed,
+                                               decode_interior_prob)
+
+    pi = np.zeros((64, 64), np.float32)
+    pb = np.zeros((64, 64), np.float32)
+    pi[10:54, 10:30] = 0.95
+    pi[10:54, 30:50] = 0.95
+    # the ridge: boundary prob high but interior still above 0.5 → CC
+    # sees one blob; the watershed variant splits on the seed cores
+    pb[10:54, 28:32] = 0.8
+    pi[10:54, 28:32] = 0.6
+    cc = np.asarray(decode_interior_prob(pi))
+    ws = np.asarray(decode_boundary_watershed(pi, pb))
+    assert cc.max() == 1  # merged
+    assert ws.max() == 2  # split
+    assert ws[30, 20] != ws[30, 40] and ws[30, 20] > 0 and ws[30, 40] > 0
+    # on a clean single cell both decoders agree
+    pi2 = np.zeros((64, 64), np.float32)
+    pi2[20:44, 20:44] = 0.9
+    assert np.asarray(decode_boundary_watershed(pi2, np.zeros_like(pi2))).max() == 1
