@@ -150,7 +150,7 @@ def main():
     # sync RTT): insensitive to the dev tunnel's ambient transfer
     # contention, which swings the e2e number ~4x hour to hour
     sync_ms = stages.get("sync_overhead", 0.0)
-    compute_ms = sum(v - sync_ms for k, v in stages.items()
+    compute_ms = sum(max(v - sync_ms, 0.0) for k, v in stages.items()
                      if k != "sync_overhead")
     compute_mps = round(mp / max(compute_ms, 1e-6) * 1e3, 1)
     print(json.dumps({

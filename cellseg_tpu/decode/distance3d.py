@@ -24,8 +24,6 @@ full 26-neighborhood.
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 
 
@@ -57,39 +55,46 @@ def peak_local_max_3d(volume: np.ndarray, min_distance: int = 6) -> np.ndarray:
 
 
 def watershed3d_host(image: np.ndarray, markers: np.ndarray,
-                     mask: np.ndarray) -> np.ndarray:
-    """Sequential priority-flood watershed in 3D (26-neighborhood)."""
+                     mask: np.ndarray, max_iters: int = 4096) -> np.ndarray:
+    """Vectorized minimax-path watershed in 3D (26-neighborhood).
+
+    Each masked voxel is assigned to the marker with the lowest pass-height
+    (minimax) path cost, ties broken by smallest marker id — the same
+    semantics as the 2D device watershed (ops/watershed.py). Iterative
+    whole-volume relaxation (26 shifted min/max passes per sweep) replaces
+    the earlier per-voxel Python priority flood, which was impractically
+    slow beyond ~1 Mvox; sweeps converge in O(basin diameter) iterations
+    at numpy C speed.
+    """
+    big = np.float64(3.0e38)
+    mask = mask.astype(bool)
     nz, h, w = image.shape
-    labels = np.where(mask, markers.astype(np.int64), 0)
-    heap: list = []
-    age = 0
-    zs, ys, xs = np.nonzero((markers > 0) & mask)
-    for z, y, x in zip(zs, ys, xs):
-        heapq.heappush(heap, (float(image[z, y, x]), age,
-                              int(z), int(y), int(x)))
-        age += 1
-    in_queue = np.zeros(image.shape, dtype=bool)
-    in_queue[zs, ys, xs] = True
-    while heap:
-        _, _, z, y, x = heapq.heappop(heap)
-        lab = labels[z, y, x]
-        for dz in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
-                    if dz == 0 and dy == 0 and dx == 0:
-                        continue
-                    nz_, ny, nx = z + dz, y + dy, x + dx
-                    if not (0 <= nz_ < nz and 0 <= ny < h and 0 <= nx < w):
-                        continue
-                    if (not mask[nz_, ny, nx] or labels[nz_, ny, nx]
-                            or in_queue[nz_, ny, nx]):
-                        continue
-                    labels[nz_, ny, nx] = lab
-                    in_queue[nz_, ny, nx] = True
-                    heapq.heappush(heap, (float(image[nz_, ny, nx]), age,
-                                          nz_, ny, nx))
-                    age += 1
-    return labels
+    e = np.where(mask, image.astype(np.float64), big)
+    seeded = (markers > 0) & mask
+    cost = np.where(seeded, e, big)
+    label = np.where(seeded, markers.astype(np.int64), 0)
+    offsets = [(dz, dy, dx)
+               for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+               if (dz, dy, dx) != (0, 0, 0)]
+    for _ in range(max_iters):
+        pc = np.pad(cost, 1, constant_values=big)
+        pl = np.pad(label, 1, constant_values=0)
+        new_cost = cost.copy()
+        new_label = label.copy()
+        for dz, dy, dx in offsets:
+            nc = pc[1 + dz:1 + dz + nz, 1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+            nl = pl[1 + dz:1 + dz + nz, 1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+            cand = np.maximum(nc, e)  # minimax path cost through neighbor
+            better = (cand < new_cost) | (
+                (cand == new_cost) & (nl > 0) & (nl < new_label))
+            better &= mask & (nl > 0)
+            np.copyto(new_cost, cand, where=better)
+            np.copyto(new_label, nl, where=better)
+        if (np.array_equal(new_label, label)
+                and np.array_equal(new_cost, cost)):
+            break
+        cost, label = new_cost, new_label
+    return np.where(mask, label, 0)
 
 
 def decode_distance_3d(border_pred: np.ndarray, cell_pred: np.ndarray,

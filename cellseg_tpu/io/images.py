@@ -35,6 +35,27 @@ def imread(path: str) -> np.ndarray:
         return np.asarray(im)
 
 
+def _pages_to_channels(img: np.ndarray) -> np.ndarray:
+    """Move a leading page axis of an (N, H, W) stack to the channel slot.
+
+    A 3D array whose trailing axis cannot be channels (>4) is a page stack
+    when the leading axis is much smaller than both spatial axes (multipage
+    channel-plane TIFFs, z-stacks with many slices). Ambiguous near-cubic
+    layouts raise instead of silently slicing the width axis to 3 pixels.
+    """
+    n, h, w = img.shape
+    if n <= 16 or 4 * n <= min(h, w):
+        return np.moveaxis(img, 0, -1)
+    if 4 * w <= min(n, h):
+        # (H, W, C>4) many-channel image: already channels-last.
+        return img
+    raise ValueError(
+        f"ambiguous 3D image layout {img.shape}: trailing axis is too large "
+        "to be channels and the leading axis is too large to be pages; "
+        "pass an explicit (H, W, C) array instead"
+    )
+
+
 def to_hwc_raw(img: np.ndarray) -> np.ndarray:
     """Like to_hwc3 but WITHOUT materializing the 3-channel expansion:
     returns (H, W, C) with C in {1, 2, 3}. Callers that upload to an
@@ -45,8 +66,8 @@ def to_hwc_raw(img: np.ndarray) -> np.ndarray:
         return img[..., None]
     if img.ndim != 3:
         raise ValueError(f"unsupported image rank {img.ndim}: {img.shape}")
-    if img.shape[-1] > 4 and img.shape[0] <= 16:
-        img = np.moveaxis(img, 0, -1)
+    if img.shape[-1] > 4:
+        img = _pages_to_channels(img)
     return img[..., :3]
 
 
@@ -66,12 +87,12 @@ def to_hwc3(img: np.ndarray) -> np.ndarray:
         return np.repeat(img[..., None], 3, axis=-1)
     if img.ndim != 3:
         raise ValueError(f"unsupported image rank {img.ndim}: {img.shape}")
-    if img.shape[-1] > 4 and img.shape[0] <= 16:
+    if img.shape[-1] > 4:
         # (N, H, W) page stack (small leading page axis, non-channel
         # trailing axis) → (H, W, N) channel planes. A genuine
         # many-channel (H, W, C>4) image keeps channels-last and is
         # truncated to 3 below, like the reference.
-        img = np.moveaxis(img, 0, -1)
+        img = _pages_to_channels(img)
     c = img.shape[-1]
     if c == 1:
         return np.repeat(img, 3, axis=-1)

@@ -155,15 +155,21 @@ def ctc_metrics_sequence(data_root: str, res_dir: str, subset: str = "01",
     Matches the reference bridge's I/O (KIT-GE segmentation/utils/
     metrics.py:11-79): ground truth at <data_root>/<subset>_<mode>/SEG/
     man_seg{t}.tif, results at <res_dir>/mask{t}.tif. SEG averages the
-    Jaccard over ALL GT objects across annotated frames; DET sums AOGM-D
-    costs over frames before normalizing (official measure semantics).
+    Jaccard over ALL GT objects across annotated frames. DET follows the
+    official DETMeasure's annotation source: when a TRA directory with
+    man_track{t}.tif marker frames exists it is used (the official binary
+    matches detections against TRA markers, which annotate every frame),
+    otherwise DET falls back to the SEG frames and the result carries
+    det_source='SEG' to flag the approximation. AOGM-D costs are summed
+    over frames before normalizing (official measure semantics).
     DET is NaN for mode='ST' like the reference (:64-75).
     """
     import os
 
     from ..io import imread
 
-    seg_dir = os.path.join(data_root, f"{subset}_{mode}", "SEG")
+    gt_root = os.path.join(data_root, f"{subset}_{mode}")
+    seg_dir = os.path.join(gt_root, "SEG")
     if not os.path.isdir(seg_dir):
         raise FileNotFoundError(f"no GT directory: {seg_dir}")
     res_by_frame = {}
@@ -173,8 +179,12 @@ def ctc_metrics_sequence(data_root: str, res_dir: str, subset: str = "01",
             if fr is not None:
                 res_by_frame[int(fr)] = os.path.join(res_dir, f)
 
+    def _pred_for(fr: int, gt: np.ndarray) -> np.ndarray:
+        res_path = res_by_frame.get(fr)
+        return (np.asarray(imread(res_path)).astype(np.int64)
+                if res_path else np.zeros_like(gt))
+
     all_scores: list[float] = []
-    aogm_total, aogm0_total = 0.0, 0.0
     frames = []
     for f in sorted(os.listdir(seg_dir)):
         if not f.startswith("man_seg"):
@@ -183,16 +193,33 @@ def ctc_metrics_sequence(data_root: str, res_dir: str, subset: str = "01",
         if fr is None:
             continue
         gt = np.asarray(imread(os.path.join(seg_dir, f))).astype(np.int64)
-        res_path = res_by_frame.get(int(fr))
-        pred = (np.asarray(imread(res_path)).astype(np.int64)
-                if res_path else np.zeros_like(gt))
-        scores = seg_object_scores(gt, pred)
+        scores = seg_object_scores(gt, _pred_for(int(fr), gt))
         all_scores.extend(scores)
-        aogm, aogm0 = det_frame_costs(gt, pred)
-        aogm_total += aogm
-        aogm0_total += aogm0
         frames.append({"frame": int(fr), "n_gt": len(scores),
                        "seg": float(np.mean(scores)) if scores else 0.0})
+
+    # DET annotation source: TRA markers when available (official
+    # DETMeasure semantics), else the SEG frames as an approximation.
+    tra_dir = os.path.join(gt_root, "TRA")
+    det_source = "SEG"
+    det_gt_files = [(int(_frame_number(f)), os.path.join(seg_dir, f))
+                    for f in sorted(os.listdir(seg_dir))
+                    if f.startswith("man_seg") and _frame_number(f)]
+    if os.path.isdir(tra_dir):
+        tra_files = [(int(_frame_number(f)), os.path.join(tra_dir, f))
+                     for f in sorted(os.listdir(tra_dir))
+                     if f.startswith("man_track")
+                     and f.split(".")[-1] in ("tif", "tiff")
+                     and _frame_number(f)]
+        if tra_files:
+            det_gt_files, det_source = tra_files, "TRA"
+
+    aogm_total, aogm0_total = 0.0, 0.0
+    for fr, path in det_gt_files:
+        gt = np.asarray(imread(path)).astype(np.int64)
+        aogm, aogm0 = det_frame_costs(gt, _pred_for(fr, gt))
+        aogm_total += aogm
+        aogm0_total += aogm0
 
     seg = float(np.mean(all_scores)) if all_scores else 0.0
     if mode != "GT":
@@ -202,5 +229,5 @@ def ctc_metrics_sequence(data_root: str, res_dir: str, subset: str = "01",
     else:
         det = float(1.0 - min(aogm_total, aogm0_total) / aogm0_total)
     op = (seg + det) / 2.0 if det == det else seg  # det==det: not NaN
-    return {"SEG": seg, "DET": det, "OP_CSB": op,
+    return {"SEG": seg, "DET": det, "OP_CSB": op, "det_source": det_source,
             "n_frames": len(frames), "frames": frames}

@@ -371,8 +371,11 @@ def _create_from_pairs(pairs, output_path: str, crop_size: int,
             for c in crops["B"]:
                 split_of[c[0]] = "train"
 
-    # GT+ST quotas (reference :694-733): keep all GT crops, cap added STs
-    if gt_st:
+    # GT+ST quotas (reference :694-733): keep all GT crops, cap added STs.
+    # The reference skips the counter cap when frozen split ids are supplied
+    # (create_training_sets.py:709-713) — a frozen split must be reproduced
+    # verbatim, so the random pruning below must not run in that case.
+    if gt_st and not frozen_split:
         by_split = {"train": [], "val": []}
         for c in crops["A"] + crops["B"]:
             s = split_of.get(c[0])
