@@ -43,6 +43,9 @@ def main(argv=None):
     parser.add_argument("--n_devices", default=None, type=int,
                         help="data-parallel mesh size (default: largest "
                              "device count dividing the batch)")
+    parser.add_argument("--ckpt_interval", default=1, type=int,
+                        help="rolling resumable last_model.ckpt every N "
+                             "epochs (0 disables)")
     args = parser.parse_args(argv)
 
     from ..utils.cache import enable_compilation_cache
@@ -65,6 +68,7 @@ def main(argv=None):
         augment=not args.no_augment,
         n_devices=args.n_devices,
         resume=args.resume,
+        ckpt_interval=args.ckpt_interval,
     )
     train_3class(cfg)
 

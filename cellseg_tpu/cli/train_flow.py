@@ -21,6 +21,11 @@ def main(argv=None):
                         choices=["float32", "bfloat16"])
     parser.add_argument("--n_devices", default=None, type=int,
                         help="data-parallel mesh size")
+    parser.add_argument("--pretrained", "--retrain", dest="pretrained",
+                        default=None, type=str,
+                        help="warm-start from a pretrained flow checkpoint "
+                             "(.ckpt file or model dir) — the cellpose2 "
+                             "fine-tuning capability (reference README.md:34)")
     args = parser.parse_args(argv)
 
     from ..utils.cache import enable_compilation_cache
@@ -36,6 +41,7 @@ def main(argv=None):
         seed=args.seed,
         dtype=args.dtype,
         n_devices=args.n_devices,
+        pretrained=args.pretrained,
     )
     res = train_flow(cfg)
     print(f"flow training done: best val {res['best_val_loss']:.4f}")

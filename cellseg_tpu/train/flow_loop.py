@@ -43,6 +43,12 @@ class FlowTrainConfig:
     dtype: str = "float32"
     val_frac: float = 0.1
     n_devices: int | None = None  # data-parallel mesh size (None = all)
+    # cellpose2-style fine-tuning: warm-start from a pretrained checkpoint
+    # (.ckpt file, e.g. assets/pretrained_flow.ckpt, or a model dir with a
+    # config.json sidecar). The reference's cellpose2 capability is exactly
+    # retraining FROM a pretrained model (cellpose-omnipose-KIT-GE/
+    # README.md:34: cellpose CLI, 500 epochs, batch 32, from cyto2).
+    pretrained: str | None = None
 
 
 class FlowCropDataset:
@@ -123,6 +129,23 @@ def train_flow(cfg: FlowTrainConfig) -> dict:
     rng = jax.random.PRNGKey(cfg.seed)
     params = model.init(
         rng, jnp.zeros((1, cfg.input_size, cfg.input_size, 1), jnp.float32))
+
+    if cfg.pretrained:
+        # warm-start with architecture check (same contract as the distance
+        # trainer's --retrain, distance_loop.py:104-120)
+        from .checkpoint import load_sidecar, restore_params
+
+        ckpt_path = cfg.pretrained
+        if os.path.isdir(ckpt_path):
+            side = load_sidecar(ckpt_path)
+            arch = side.get("architecture", {}).get("channels")
+            if arch is not None and list(arch) != list(cfg.channels):
+                raise ValueError(
+                    "Architecture of model to retrain does not match: "
+                    f"{arch} vs {list(cfg.channels)}")
+            ckpt_path = join(ckpt_path, "best_model.ckpt")
+        params, _ = restore_params(ckpt_path, params)
+        print(f"warm-starting flow training from {cfg.pretrained}")
 
     tx = optax.adamw(cfg.learning_rate)
     state = TrainState.create(lambda p, x, train=False: model.apply(p, x),

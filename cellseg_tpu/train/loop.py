@@ -53,6 +53,11 @@ class TrainConfig:
     dtype: str = "float32"
     augment: bool = True
     resume: str | None = None  # checkpoint path to resume from
+    # rolling-checkpoint cadence: every ckpt_interval epochs a resumable
+    # {params, opt_state, epoch} snapshot is written to last_model.ckpt, so
+    # --resume loses at most ckpt_interval epochs after a crash (reference
+    # cadence: every epoch, model_training_3class.py:269-274)
+    ckpt_interval: int = 1
 
 
 def _foreground_dice(pred_onehot: np.ndarray, gt_onehot: np.ndarray) -> float:
@@ -192,6 +197,11 @@ def train_3class(cfg: TrainConfig) -> dict:
         epoch_loss_values.append(epoch_loss)
         logger.scalar("train_loss", epoch_loss, global_step)
         print(f"epoch {epoch} average loss: {epoch_loss:.4f}")
+
+        if cfg.ckpt_interval > 0 and epoch % cfg.ckpt_interval == 0:
+            save_checkpoint(join(model_path, "last_model.ckpt"),
+                            state.params, state.opt_state,
+                            step=global_step, epoch=epoch)
 
         if epoch > cfg.min_val_epoch and epoch % cfg.val_interval == 0 and val_pairs:
             metric = validate(eval_apply, state.params, val_pairs,

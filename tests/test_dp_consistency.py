@@ -3,12 +3,15 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from cellseg_tpu.models import build_model
 from cellseg_tpu.parallel import make_mesh, replicate, shard_batch
 from cellseg_tpu.pipeline.augment import AugmentConfig
 from cellseg_tpu.train.steps import TrainState, make_train_step
+
+pytestmark = pytest.mark.slow
 
 
 def _run(n_devices: int, steps: int = 3):

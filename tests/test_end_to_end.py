@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def preprocessed(tmp_path_factory):
@@ -54,6 +56,9 @@ def test_train_overfit_and_predict(preprocessed, tmp_path):
     assert losses[-1] < losses[0], (losses[0], losses[-1])
     assert os.path.exists(os.path.join(res["model_path"], "final_model.ckpt"))
     assert os.path.exists(os.path.join(res["model_path"], "config.json"))
+    # per-epoch rolling resumable checkpoint (reference cadence,
+    # model_training_3class.py:269-274)
+    assert os.path.exists(os.path.join(res["model_path"], "last_model.ckpt"))
 
     # predict on a bundled raw image through the full device pipeline
     from cellseg_tpu.infer.predictor import Predictor

@@ -3,6 +3,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def test_train_flow_tiny(tmp_path):
     from cellseg_tpu.io import imwrite, imwrite_instance_tiff
@@ -68,3 +70,45 @@ def test_dihedral_flow_augmentation_consistency():
             # its normalized sign is arbitrary — allow one pixel per cell
             n_bad = int((diff.max(axis=-1) > 1e-4).sum())
             assert n_bad <= 2, (k, flip, n_bad, float(diff.max()))
+
+
+def test_train_flow_warm_start(tmp_path):
+    """cellpose2 capability: --pretrained warm-starts from a checkpoint
+    (reference README.md:34 retrains from cyto2); mismatched architectures
+    are rejected like the distance trainer's --retrain."""
+    from cellseg_tpu.io import imwrite, imwrite_instance_tiff
+    from cellseg_tpu.train.flow_loop import FlowTrainConfig, train_flow
+
+    raw = tmp_path / "raw"
+    (raw / "images").mkdir(parents=True)
+    (raw / "labels").mkdir()
+    rng = np.random.RandomState(1)
+    for i in range(3):
+        lbl = np.zeros((80, 80), np.int32)
+        lbl[10:35, 10:35] = 1
+        lbl[45:75, 45:75] = 2
+        img = (lbl > 0) * 150 + rng.randint(0, 40, (80, 80))
+        imwrite(str(raw / "images" / f"c_{i:03d}.png"), img.astype(np.uint8))
+        imwrite_instance_tiff(str(raw / "labels" / f"c_{i:03d}_label.tiff"),
+                              lbl)
+
+    base = FlowTrainConfig(
+        data_path=str(raw), work_dir=str(tmp_path / "cold"),
+        channels=(8, 16, 32), input_size=64, batch_size=2, max_epochs=4,
+    )
+    cold = train_flow(base)
+
+    warm = train_flow(FlowTrainConfig(
+        data_path=str(raw), work_dir=str(tmp_path / "warm"),
+        channels=(8, 16, 32), input_size=64, batch_size=2, max_epochs=1,
+        pretrained=cold["model_path"],
+    ))
+    # warm-started first epoch must beat the cold run's first epoch
+    assert warm["history"][0][0] < cold["history"][0][0]
+
+    with pytest.raises(ValueError, match="does not match"):
+        train_flow(FlowTrainConfig(
+            data_path=str(raw), work_dir=str(tmp_path / "bad"),
+            channels=(8, 16), input_size=64, batch_size=2, max_epochs=1,
+            pretrained=cold["model_path"],
+        ))

@@ -1,10 +1,13 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cellseg_tpu.models.unet import AutoUNet, DUNet
 from cellseg_tpu.pipeline.augment_distance import augment_distance_batch
 from cellseg_tpu.train.pretrain import train_auto, transfer_encoder
+
+pytestmark = pytest.mark.slow
 
 
 def test_autounet_shapes():
