@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.cc import label_components
 from ..ops.watershed import watershed_jax
 from ..pipeline.augment import separable_gaussian_blur
 
@@ -59,21 +58,36 @@ def _seeds_and_mask(cell_pred: jax.Array, border_pred: jax.Array,
     borders = jnp.clip(borders, 0, 1)
     cleaned = cell - borders
     seed_mask = cleaned > th_seed
-    seeds = label_components(seed_mask, connectivity=2)
 
-    n = seeds.shape[0] * seeds.shape[1]
-    flat = seeds.ravel()
-    areas = jnp.zeros((n + 1,), jnp.float32).at[flat].add(1.0)
-    areas = areas.at[0].set(0.0)
+    # One CC propagation + one sort-based area pass (the scatter-add this
+    # replaces costs 30-40 ms at 4 MP on v5e — ops/cc.py cost model), and
+    # no second labeling: dropping whole components leaves the surviving
+    # roots untouched, so the final ids come straight from the filtered
+    # root map.
+    from ..ops.cc import (
+        _root_labels,
+        component_areas_by_sort,
+        sequential_from_roots,
+    )
+
+    roots = _root_labels(seed_mask, connectivity=2)
+    area_px = component_areas_by_sort(
+        roots.ravel(), seed_mask.ravel()).reshape(seed_mask.shape)
     if rescue:
         min_area = jnp.float32(4.0)
     else:
-        num_seeds = jnp.maximum(jnp.max(seeds), 1)
-        mean_area = jnp.sum(areas) / num_seeds.astype(jnp.float32)
+        n = seed_mask.shape[0] * seed_mask.shape[1]
+        flat = roots.ravel()
+        is_root = jnp.logical_and(
+            flat == jnp.arange(n, dtype=jnp.int32), seed_mask.ravel())
+        num_seeds = jnp.maximum(jnp.sum(is_root.astype(jnp.int32)), 1)
+        mean_area = (jnp.sum(seed_mask.astype(jnp.float32))
+                     / num_seeds.astype(jnp.float32))
         min_area = jnp.maximum(0.10 * mean_area, 4.0)
-    keep = areas[flat] > min_area
-    seed_mask2 = jnp.logical_and(seed_mask, keep.reshape(seeds.shape))
-    seeds2 = label_components(seed_mask2, connectivity=2)
+    seed_mask2 = jnp.logical_and(
+        seed_mask, area_px.astype(jnp.float32) > min_area)
+    seeds2 = sequential_from_roots(
+        jnp.where(seed_mask2, roots, jnp.int32(2**31 - 1)), seed_mask2)
     return cell, mask, seeds2
 
 

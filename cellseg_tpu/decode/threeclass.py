@@ -44,6 +44,7 @@ def decode_interior_prob(prob_interior: jax.Array) -> jax.Array:
         _propagate,
         _root_labels,
         component_areas_by_sort,
+        sequential_from_roots,
     )
 
     mask = prob_interior > 0.5
@@ -57,15 +58,7 @@ def decode_interior_prob(prob_interior: jax.Array) -> jax.Array:
     # final 8-conn labeling seeded by the surviving 4-conn roots
     lab0 = jnp.where(mask2, roots4, _INF)
     lab = _propagate(lab0, mask2, connectivity=2, max_iters=1024)
-    h, w = mask2.shape
-    n = h * w
-    flat = lab.ravel()
-    is_root = jnp.logical_and(flat == jnp.arange(n, dtype=jnp.int32),
-                              mask2.ravel())
-    seq = jnp.cumsum(is_root.astype(jnp.int32))
-    safe = jnp.where(flat == _INF, 0, flat)
-    out = jnp.where(mask2.ravel(), seq[safe], 0)
-    return out.reshape(h, w)
+    return sequential_from_roots(lab, mask2)
 
 
 def decode_interior_prob_host(prob_interior: np.ndarray) -> np.ndarray:

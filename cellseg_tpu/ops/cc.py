@@ -178,8 +178,14 @@ def label_components(mask: jax.Array, connectivity: int = 2,
     lin = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
     lab = jnp.where(mask, lin, _INF)
     lab = _propagate(lab, mask, connectivity, max_iters)
+    return sequential_from_roots(lab, mask)
 
-    # sequential ids in raster order of component roots (single gather)
+
+def sequential_from_roots(lab: jax.Array, mask: jax.Array) -> jax.Array:
+    """Converged root-index labels → sequential ids 1..K in raster order
+    of the roots (single gather; the relabel tail shared by the decoders)."""
+    h, w = mask.shape
+    n = h * w
     flat = lab.ravel()
     is_root = jnp.logical_and(flat == jnp.arange(n, dtype=jnp.int32),
                               mask.ravel())

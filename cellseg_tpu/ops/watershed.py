@@ -34,45 +34,67 @@ def _shift2(arr, dy, dx, fill):
     return jax.lax.dynamic_slice(padded, (1 + dy, 1 + dx), (h, w))
 
 
+_INF_HOPS = jnp.int32(2**31 - 1)
+
+
 @functools.partial(jax.jit, static_argnames=("max_iters",))
 def watershed_jax(image: jax.Array, markers: jax.Array, mask: jax.Array,
                   max_iters: int = 512):
-    """Minimax-path watershed.
+    """Minimax-path watershed with first-arrival plateau splitting.
 
     image: (H, W) elevation (lower = flooded first, e.g. -cell_pred)
     markers: (H, W) int32 seed labels (0 = none)
     mask: (H, W) bool region to label
     Returns (H, W) int32 labels.
+
+    Path cost is lexicographic (minimax elevation, path length, marker id).
+    The path-length key models skimage's (value, insertion-age) heap order
+    on plateaus: under uniform flood speed the global insertion age of a
+    pixel tracks the number of relaxation waves since its marker, so on a
+    flat or quantized region (bf16 outputs are full of these) each pixel
+    goes to the geodesically-first-arriving marker instead of wholesale to
+    the smallest marker id. Exact-tie residue (equal cost AND equal path
+    length) falls back to smallest marker id — a measure-zero frontier one
+    pixel wide.
     """
     e = jnp.where(mask, image.astype(jnp.float32), _BIG)
     seeded = markers > 0
     cost = jnp.where(seeded, e, _BIG)
+    hops = jnp.where(seeded, 0, _INF_HOPS)
     label = jnp.where(seeded, markers.astype(jnp.int32), 0)
 
     def cond(state):
-        _, _, changed, it = state
+        _, _, _, changed, it = state
         return jnp.logical_and(changed, it < max_iters)
 
     def body(state):
-        cost, label, _, it = state
-        new_cost, new_label = cost, label
+        cost, hops, label, _, it = state
+        new_cost, new_hops, new_label = cost, hops, label
         for dy, dx in _SHIFTS_8:
             nc = _shift2(cost, dy, dx, _BIG)
+            nh = _shift2(hops, dy, dx, _INF_HOPS)
             nl = _shift2(label, dy, dx, 0)
             cand = jnp.maximum(nc, e)  # minimax path cost through neighbor
+            cand_h = jnp.where(nh == _INF_HOPS, _INF_HOPS, nh + 1)
+            cost_eq = cand == new_cost
             better = jnp.logical_or(
                 cand < new_cost,
-                jnp.logical_and(cand == new_cost,
-                                jnp.logical_and(nl > 0, nl < new_label)),
+                jnp.logical_and(cost_eq, jnp.logical_or(
+                    cand_h < new_hops,
+                    jnp.logical_and(cand_h == new_hops,
+                                    jnp.logical_and(nl > 0,
+                                                    nl < new_label)))),
             )
             better = jnp.logical_and(better, jnp.logical_and(mask, nl > 0))
             new_cost = jnp.where(better, cand, new_cost)
+            new_hops = jnp.where(better, cand_h, new_hops)
             new_label = jnp.where(better, nl, new_label)
-        changed = jnp.any(new_label != label)
-        return new_cost, new_label, changed, it + 1
+        changed = jnp.any(jnp.logical_or(new_label != label,
+                                         new_hops != hops))
+        return new_cost, new_hops, new_label, changed, it + 1
 
-    _, label, _, _ = jax.lax.while_loop(
-        cond, body, (cost, label, jnp.bool_(True), jnp.int32(0))
+    _, _, label, _, _ = jax.lax.while_loop(
+        cond, body, (cost, hops, label, jnp.bool_(True), jnp.int32(0))
     )
     return jnp.where(mask, label, 0)
 

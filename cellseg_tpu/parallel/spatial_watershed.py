@@ -1,8 +1,9 @@
 """Spatially-sharded marker-based watershed (gigapixel distance decode).
 
 Same halo-exchange pattern as the sharded connected components
-(parallel/spatial.py): each sweep relaxes the minimax-path (cost, label)
-state within the stripe, then absorbs the neighbors' boundary rows via
+(parallel/spatial.py): each sweep relaxes the minimax-path
+(cost, hops, label) state within the stripe, then absorbs the neighbors'
+boundary rows via
 ppermute; global convergence via pmax of per-shard change flags. Bit-equal
 to ops/watershed.watershed_jax on the same canvas.
 
@@ -25,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .spatial import AXIS, _filter_local, _perm, spatial_label_components
 
 _BIG = 3.0e38
+_INF_HOPS = jnp.int32(2**31 - 1)
 _SHIFTS_8 = ((-1, 0), (1, 0), (0, -1), (0, 1),
              (-1, -1), (-1, 1), (1, -1), (1, 1))
 
@@ -53,14 +55,15 @@ def spatial_watershed(image, markers, mask, mesh: Mesh,
         e = jnp.where(m_s, e_s.astype(jnp.float32), _BIG)
         seeded = k_s > 0
         cost = jnp.where(seeded, e, _BIG)
+        hops = jnp.where(seeded, 0, _INF_HOPS)
         label = jnp.where(seeded, k_s.astype(jnp.int32), 0)
 
         def cond(s):
-            _, _, ch, it = s
+            _, _, _, ch, it = s
             return jnp.logical_and(ch, it < max_iters)
 
         def body(s):
-            cost, label, _, it = s
+            cost, hops, label, _, it = s
             # build 1-row ghosts from neighbors
             idx = jax.lax.axis_index(AXIS)
 
@@ -72,28 +75,37 @@ def spatial_watershed(image, markers, mask, mesh: Mesh,
                 return jnp.concatenate([top, arr, bot], axis=0)
 
             cost_e = with_ghosts(cost, _BIG)
+            hops_e = with_ghosts(hops, _INF_HOPS)
             label_e = with_ghosts(label.astype(jnp.float32), 0.0)
             label_e = label_e.astype(jnp.int32)
-            new_cost, new_label = cost, label
+            new_cost, new_hops, new_label = cost, hops, label
             for dy, dx in _SHIFTS_8:
                 nc = _shift2(cost_e, dy, dx, _BIG)[1:-1]
+                nh = _shift2(hops_e, dy, dx, _INF_HOPS)[1:-1]
                 nl = _shift2(label_e, dy, dx, 0)[1:-1]
                 cand = jnp.maximum(nc, e)
+                cand_h = jnp.where(nh == _INF_HOPS, _INF_HOPS, nh + 1)
+                cost_eq = cand == new_cost
                 better = jnp.logical_or(
                     cand < new_cost,
-                    jnp.logical_and(
-                        cand == new_cost,
-                        jnp.logical_and(nl > 0, nl < new_label)),
+                    jnp.logical_and(cost_eq, jnp.logical_or(
+                        cand_h < new_hops,
+                        jnp.logical_and(
+                            cand_h == new_hops,
+                            jnp.logical_and(nl > 0, nl < new_label)))),
                 )
                 better = jnp.logical_and(better,
                                          jnp.logical_and(m_s, nl > 0))
                 new_cost = jnp.where(better, cand, new_cost)
+                new_hops = jnp.where(better, cand_h, new_hops)
                 new_label = jnp.where(better, nl, new_label)
-            changed = jax.lax.pmax(jnp.any(new_label != label), AXIS)
-            return new_cost, new_label, changed, it + 1
+            changed = jax.lax.pmax(
+                jnp.any(jnp.logical_or(new_label != label,
+                                       new_hops != hops)), AXIS)
+            return new_cost, new_hops, new_label, changed, it + 1
 
-        _, label, _, _ = jax.lax.while_loop(
-            cond, body, (cost, label, jnp.bool_(True), jnp.int32(0)))
+        _, _, label, _, _ = jax.lax.while_loop(
+            cond, body, (cost, hops, label, jnp.bool_(True), jnp.int32(0)))
         return jnp.where(m_s, label, 0)
 
     fn = shard_map(
