@@ -234,3 +234,106 @@ def test_ctc_measure_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "SEG measure: 0.666667" in out
     assert "DET measure: 0.750000" in out
+
+
+# --- property-based pins beyond the hand goldens (VERDICT r2 item 7):
+# the official binaries can't run here, so invariances of the measures
+# are asserted on randomized label worlds instead.
+
+def _random_world(seed, h=96, w=96, n=8):
+    rng = np.random.RandomState(seed)
+    gt = np.zeros((h, w), np.int64)
+    yy, xx = np.mgrid[0:h, 0:w]
+    k = 0
+    for _ in range(n):
+        cy, cx, r = rng.randint(10, h - 10), rng.randint(10, w - 10), rng.randint(4, 9)
+        blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+        blob &= gt == 0
+        if blob.sum() >= 8:
+            k += 1
+            gt[blob] = k
+    return gt
+
+
+def test_permutation_invariance():
+    """SEG and DET must not depend on the pred label numbering."""
+    from cellseg_tpu.metrics.ctc import det_score, seg_score
+
+    gt = _random_world(0)
+    pred = _random_world(0)  # identical geometry
+    rng = np.random.RandomState(1)
+    ids = np.unique(pred[pred > 0])
+    perm = rng.permutation(len(ids)) + 1
+    remap = np.zeros(int(pred.max()) + 1, np.int64)
+    for i, v in zip(ids, perm):
+        remap[i] = v
+    pred_perm = remap[pred]
+
+    assert seg_score(gt, pred) == seg_score(gt, pred_perm)
+    assert det_score(gt, pred) == det_score(gt, pred_perm)
+
+
+def test_added_false_positives_monotonically_hurt_det():
+    from cellseg_tpu.metrics.ctc import det_score
+
+    gt = _random_world(2)
+    pred = gt.copy()
+    scores = [det_score(gt, pred)]
+    nxt = int(pred.max())
+    for i in range(3):
+        # add a spurious object in free space
+        free = np.argwhere(pred == 0)
+        y, x = free[len(free) // (2 + i)]
+        y0, y1 = max(y - 2, 0), min(y + 3, pred.shape[0])
+        x0, x1 = max(x - 2, 0), min(x + 3, pred.shape[1])
+        box = pred[y0:y1, x0:x1]
+        if (box == 0).all():
+            nxt += 1
+            pred[y0:y1, x0:x1] = nxt
+            scores.append(det_score(gt, pred))
+    assert all(a >= b for a, b in zip(scores, scores[1:])), scores
+    assert scores[-1] < scores[0]
+
+
+def test_removed_objects_monotonically_hurt_det_and_seg():
+    from cellseg_tpu.metrics.ctc import det_score, seg_score
+
+    gt = _random_world(3)
+    pred = gt.copy()
+    det_scores = [det_score(gt, pred)]
+    seg_scores = [seg_score(gt, pred)]
+    for i in np.unique(gt[gt > 0])[:3]:
+        pred[pred == i] = 0
+        det_scores.append(det_score(gt, pred))
+        seg_scores.append(seg_score(gt, pred))
+    assert all(a > b for a, b in zip(det_scores, det_scores[1:])), det_scores
+    assert all(a > b for a, b in zip(seg_scores, seg_scores[1:])), seg_scores
+
+
+def test_split_costs_less_than_miss():
+    """CTC AOGM-D weights: a split (5) must cost less than a full miss
+    (10) — one predicted object covering two GT cells scores better than
+    covering neither."""
+    from cellseg_tpu.metrics.ctc import det_score
+
+    gt = np.zeros((40, 40), np.int64)
+    gt[5:15, 5:35] = 1
+    gt[25:35, 5:35] = 2
+    merged = np.zeros_like(gt)
+    merged[(gt > 0)] = 1  # one pred covering both (split error)
+    nothing = np.zeros_like(gt)
+    assert det_score(gt, merged) > det_score(gt, nothing)
+
+
+def test_seg_is_mean_jaccard_of_matches():
+    """SEG equals the analytic mean Jaccard on a constructed case."""
+    from cellseg_tpu.metrics.ctc import seg_score
+
+    gt = np.zeros((20, 30), np.int64)
+    gt[2:10, 2:10] = 1       # 64 px
+    gt[2:10, 15:27] = 2      # 96 px
+    pred = np.zeros_like(gt)
+    pred[2:10, 2:8] = 1      # covers 48/64 of gt1 (>50%), union 64+48-48=64
+    pred[4:12, 15:27] = 2    # covers 72/96 of gt2 (>50%), union 96+96-72=120
+    expect = np.mean([48 / 64, 72 / 120])
+    assert abs(seg_score(gt, pred) - expect) < 1e-12
