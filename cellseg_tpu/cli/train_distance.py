@@ -38,6 +38,10 @@ def main(argv=None):
     parser.add_argument("--max_epochs", default=None, type=int)
     parser.add_argument("--pre_train", action="store_true",
                         help="autoencoder-pretrain the encoder first")
+    parser.add_argument("--pretrain_data", default=None, type=str,
+                        help="CTC-layout dir (<dir>/01, <dir>/02) to draw "
+                             "the pretraining corpus from (frame "
+                             "subsampling + random z-slices)")
     parser.add_argument("--n_devices", default=None, type=int,
                         help="data-parallel mesh size")
     parser.add_argument("--retrain", default=None, type=str,
@@ -77,6 +81,7 @@ def main(argv=None):
             seed=args.seed + it,
             dtype=args.dtype,
             pretrain=args.pre_train,
+            pretrain_data=args.pretrain_data,
             retrain=args.retrain,
             n_devices=args.n_devices,
         )

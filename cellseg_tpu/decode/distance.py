@@ -87,7 +87,8 @@ def _seeds_and_mask(cell_pred: jax.Array, border_pred: jax.Array,
     seed_mask2 = jnp.logical_and(
         seed_mask, area_px.astype(jnp.float32) > min_area)
     seeds2 = sequential_from_roots(
-        jnp.where(seed_mask2, roots, jnp.int32(2**31 - 1)), seed_mask2)
+        jnp.where(seed_mask2, roots, jnp.int32(2**31 - 1)), seed_mask2,
+        connectivity=2)
     return cell, mask, seeds2
 
 

@@ -58,7 +58,7 @@ def decode_interior_prob(prob_interior: jax.Array) -> jax.Array:
     # final 8-conn labeling seeded by the surviving 4-conn roots
     lab0 = jnp.where(mask2, roots4, _INF)
     lab = _propagate(lab0, mask2, connectivity=2, max_iters=1024)
-    return sequential_from_roots(lab, mask2)
+    return sequential_from_roots(lab, mask2, connectivity=2)
 
 
 def decode_interior_prob_host(prob_interior: np.ndarray) -> np.ndarray:

@@ -178,21 +178,32 @@ def label_components(mask: jax.Array, connectivity: int = 2,
     lin = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
     lab = jnp.where(mask, lin, _INF)
     lab = _propagate(lab, mask, connectivity, max_iters)
-    return sequential_from_roots(lab, mask)
+    return sequential_from_roots(lab, mask, connectivity)
 
 
-def sequential_from_roots(lab: jax.Array, mask: jax.Array) -> jax.Array:
+def sequential_from_roots(lab: jax.Array, mask: jax.Array,
+                          connectivity: int = 1) -> jax.Array:
     """Converged root-index labels → sequential ids 1..K in raster order
-    of the roots (single gather; the relabel tail shared by the decoders)."""
+    of the roots (the relabel tail shared by the decoders).
+
+    Gather-free: the obvious `seq[root[p]]` lookup is a 4.2M-element random
+    gather that costs 30-40 ms at 4 MP on v5e (ops/cc.py cost model, and
+    exactly the unaccounted tail in the round-2 decode budget). Instead the
+    root's sequential id is planted at the root pixel and broadcast over
+    its component by the same seeded min-propagation the labeling uses —
+    the segmented row/col scans flood a single-seed component in ~2
+    iterations (~1 ms). `connectivity` must match the connectivity the
+    roots were computed with, or diagonal-neighbor components could leak.
+    """
     h, w = mask.shape
     n = h * w
     flat = lab.ravel()
     is_root = jnp.logical_and(flat == jnp.arange(n, dtype=jnp.int32),
                               mask.ravel())
     seq = jnp.cumsum(is_root.astype(jnp.int32))
-    safe = jnp.where(flat == _INF, 0, flat)
-    out = jnp.where(mask.ravel(), seq[safe], 0)
-    return out.reshape(h, w)
+    val0 = jnp.where(is_root, seq, _INF).reshape(h, w)
+    out = _propagate(val0, mask, connectivity, max_iters=1024)
+    return jnp.where(mask, out, 0)
 
 
 def _coarse_seed_init(mask: jax.Array, connectivity: int,

@@ -47,6 +47,11 @@ class DistanceTrainConfig:
     augment: bool = True  # KIT-GE augmentors (on device)
     pretrain: bool = False  # autoencoder-pretrain the encoder first
     pretrain_epochs: int = 60
+    # CTC-layout directory (<dir>/01, <dir>/02 frame sequences) to draw the
+    # pretraining corpus from with the reference's frame-subsampling +
+    # random-z-slice heuristics (autoencoder_dataset.py:8-85); None =
+    # pretrain on the training crops
+    pretrain_data: str | None = None
     retrain: str | None = None  # warm-start from an old model dir
     n_devices: int | None = None  # data-parallel mesh size (None = all)
 
@@ -122,10 +127,13 @@ def train_distance(cfg: DistanceTrainConfig) -> dict:
     if cfg.pretrain:
         # KIT-GE --pre_train flow: autoencoder pretraining on the training
         # crops, then encoder transfer (reference train.py:149-158)
-        from .pretrain import train_auto, transfer_encoder
+        from .pretrain import load_pretrain_corpus, train_auto, transfer_encoder
 
-        imgs = [it[0].astype(np.float32) / 65535.0 * 2.0 - 1.0
-                for it in train_ds.items]
+        if cfg.pretrain_data:
+            imgs = load_pretrain_corpus(cfg.pretrain_data, seed=cfg.seed)
+        else:
+            imgs = [it[0].astype(np.float32) / 65535.0 * 2.0 - 1.0
+                    for it in train_ds.items]
         pre_params, _ = train_auto(
             imgs, channels=tuple(cfg.channels), crop=min(crop, 320),
             batch_size=cfg.batch_size, epochs=cfg.pretrain_epochs,
