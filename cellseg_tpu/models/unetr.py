@@ -84,6 +84,9 @@ class UNETR2D(nn.Module):
     norm: str = "instance"
     act: str = "prelu"
     dtype: Dtype = jnp.float32
+    # debug=True returns (logits, intermediates dict) with every encoder
+    # tap and decoder stage (reference unetr2d.py:175-178)
+    debug: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -125,4 +128,9 @@ class UNETR2D(nn.Module):
         d1 = UpCatBlock(fs, norm=self.norm, act=self.act,
                         dtype=self.dtype)(d2, enc1)            # H
         out = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(d1)
-        return out.astype(jnp.float32)
+        out = out.astype(jnp.float32)
+        if self.debug:
+            return out, {"x1": enc1, "x2": enc2, "x3": enc3, "x4": enc4,
+                         "bottleneck": bottleneck, "dec4": d4, "dec3": d3,
+                         "dec2": d2, "dec1": d1}
+        return out

@@ -40,3 +40,23 @@ def test_build_model_dispatch():
     assert isinstance(build_model("swinunetr"), SwinUNETR2D)
     with pytest.raises(ValueError):
         build_model("nope")
+
+
+def test_unetr_debug_intermediates():
+    """debug=True returns all encoder/decoder intermediates (reference
+    unetr2d.py:175-178)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cellseg_tpu.models.unetr import UNETR2D
+
+    m = UNETR2D(out_channels=3, img_size=64, feature_size=4, hidden_size=32,
+                mlp_dim=64, num_heads=2, num_layers=4, debug=True)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    out, inter = m.apply(params, x)
+    assert out.shape == (1, 64, 64, 3)
+    assert set(inter) == {"x1", "x2", "x3", "x4", "bottleneck",
+                          "dec4", "dec3", "dec2", "dec1"}
+    assert inter["x1"].shape[1:3] == (64, 64)
+    assert inter["bottleneck"].shape[1:3] == (4, 4)
