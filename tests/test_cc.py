@@ -78,11 +78,26 @@ def test_decode_device_matches_host(rng):
     assert got.max() > 0
 
 
-def test_label_components_fuzz_large(rng):
-    """512² fuzz across densities, both connectivities, vs scipy."""
+def test_label_components_fuzz(rng):
+    """256² fuzz across densities, both connectivities, vs scipy."""
     import jax.numpy as jnp
 
-    for p in (0.2, 0.45, 0.6, 0.8):
+    for p in (0.2, 0.45, 0.8):
+        m = rng.random((256, 256)) < p
+        for conn in (1, 2):
+            got = np.asarray(label_components(jnp.asarray(m),
+                                              connectivity=conn))
+            want = connected_components(m, connectivity=conn)
+            assert np.array_equal(got, want), (p, conn)
+
+
+@pytest.mark.slow
+def test_label_components_fuzz_large(rng):
+    """512² labyrinthine fuzz (slow tier; the 256² fuzz covers the default
+    tier)."""
+    import jax.numpy as jnp
+
+    for p in (0.45, 0.6):
         m = rng.random((512, 512)) < p
         for conn in (1, 2):
             got = np.asarray(label_components(jnp.asarray(m),

@@ -93,6 +93,7 @@ def test_time_eval_cli(tmp_path):
     assert len(df) == 1 and bool(df["ok"].iloc[0])
 
 
+@pytest.mark.slow
 def test_resume_training(tmp_path, bundled_samples):
     """Resume restores epoch counter and parameters."""
     from cellseg_tpu.cli.pre_process_3class import main as pre_main

@@ -41,6 +41,12 @@ def test_normalize_jax_matches_host(rng, bundled_samples):
     import jax.numpy as jnp
 
     for name, img, _ in bundled_samples:
+        # center-crop to one shared shape: parity holds per-pixel, and one
+        # shape = one compile of the histogram program (the full-size
+        # variants cost 3 compiles and dominated the default tier)
+        h, w = img.shape[:2]
+        s = min(h, w, 200)
+        img = img[(h - s) // 2:(h + s) // 2, (w - s) // 2:(w + s) // 2]
         host = normalize_image(img)
         if img.ndim == 2:
             img3 = np.repeat(img[..., None], 3, axis=-1)
