@@ -213,7 +213,8 @@ def _filter_local(mask_ext: jax.Array, threshold: int, connectivity: int,
     n = roots.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     sr, se, si = jax.lax.sort(
-        (roots, edge_flat.astype(jnp.int32), idx), num_keys=1)
+        (roots, edge_flat.astype(jnp.int32), idx), num_keys=1,
+        is_stable=False)
     is_start = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), sr[1:] != sr[:-1]])
     is_end = jnp.concatenate([sr[1:] != sr[:-1], jnp.ones((1,), jnp.bool_)])
@@ -227,7 +228,7 @@ def _filter_local(mask_ext: jax.Array, threshold: int, connectivity: int,
     bwd_or = first_edge <= end_pos
     seg_edge = jnp.logical_or(fwd_or, bwd_or)
     _, edge_px = jax.lax.sort(
-        (si, seg_edge.astype(jnp.int32)), num_keys=1)
+        (si, seg_edge.astype(jnp.int32)), num_keys=1, is_stable=False)
     big = jnp.logical_or(areas >= threshold, edge_px > 0)
     keep = jnp.logical_and(flat_mask, big).reshape(he, w)
     return keep[halo:halo + stripe]
