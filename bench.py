@@ -229,7 +229,10 @@ def main():
     img = make_slide(H, W)
     mp = H * W / 1e6
 
-    sw_batch = 16  # fill the MXU; reference uses 4 on GPU
+    # one batch for the whole 2176² grid (121 tiles): the 16/32-channel
+    # UNet levels only fill the MXU at large tile batches (measured
+    # 26.3 → 7.5 ms for the forward going 16 → 128 tiles/step)
+    sw_batch = 128
     pred = Predictor(
         lambda p, t: model.apply(p, t), params,
         roi=256, sw_batch=sw_batch, overlap=0.25, bucket=256,

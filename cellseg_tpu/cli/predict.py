@@ -40,7 +40,11 @@ def main(argv=None):
     parser.add_argument("--num_class", default=3, type=int)
     parser.add_argument("--input_size", default=256, type=int,
                         help="sliding-window ROI size")
-    parser.add_argument("--sw_batch_size", default=4, type=int)
+    parser.add_argument("--sw_batch_size", default="auto",
+                        help="tiles per forward step; 'auto' (default) "
+                             "sizes to the slide to fill the MXU "
+                             "(reference uses 4, a GPU-memory knob — "
+                             "results are identical for any value)")
     parser.add_argument("--bucket", default=256, type=int,
                         help="shape bucket to bound recompiles (1 = pad "
                              "only to the ROI, exact reference tiling)")
@@ -88,7 +92,9 @@ def main(argv=None):
         )
     predictor = Predictor(
         lambda p, t: model.apply(p, t), params,
-        roi=args.input_size, sw_batch=args.sw_batch_size,
+        roi=args.input_size,
+        sw_batch=(args.sw_batch_size if args.sw_batch_size == "auto"
+                  else int(args.sw_batch_size)),
         num_class=args.num_class, bucket=args.bucket, mode=args.blend,
         overlap=args.overlap, decode=args.decode,
     )

@@ -43,8 +43,8 @@ def decode_interior_prob(prob_interior: jax.Array) -> jax.Array:
         _INF,
         _propagate,
         _root_labels,
-        component_areas_by_sort,
         sequential_from_roots,
+        small_component_mask_by_sort,
     )
 
     mask = prob_interior > 0.5
@@ -52,8 +52,9 @@ def decode_interior_prob(prob_interior: jax.Array) -> jax.Array:
 
     # small-object removal, keeping the 4-conn roots for reuse
     roots4 = _root_labels(mask, connectivity=1)
-    areas = component_areas_by_sort(roots4.ravel(), mask.ravel())
-    mask2 = jnp.logical_and(mask, areas.reshape(mask.shape) >= 16)
+    small = small_component_mask_by_sort(
+        roots4.ravel(), mask.ravel(), 16).reshape(mask.shape)
+    mask2 = jnp.logical_and(mask, ~small)
 
     # final 8-conn labeling seeded by the surviving 4-conn roots
     lab0 = jnp.where(mask2, roots4, _INF)

@@ -53,13 +53,20 @@ class Predictor:
     apply_fn(params, tiles): (B, roi, roi, 3) → (B, roi, roi, num_class).
     """
 
-    def __init__(self, apply_fn, params, roi: int = 256, sw_batch: int = 4,
+    def __init__(self, apply_fn, params, roi: int = 256,
+                 sw_batch: int | str = "auto",
                  overlap: float = 0.25, num_class: int = 3,
                  mode: str = "constant", bucket: int = 256,
                  normalize: bool = True, decode: str = "cc"):
         self.apply_fn = apply_fn
         self.params = params
         self.roi = roi
+        # "auto" sizes the per-step tile batch to the slide (min(128,
+        # n_tiles)): the reference's sw_batch=4 (predict.py:109) is a GPU
+        # memory knob, but on TPU the 16/32-channel UNet levels only fill
+        # the MXU when many tiles are batched — measured 26.3 → 7.5 ms for
+        # the 2176² forward going from 16 to 128 tiles/step. Results are
+        # bit-identical for any batching (same tiles, same blend).
         self.sw_batch = sw_batch
         self.overlap = overlap
         self.num_class = num_class
@@ -106,11 +113,20 @@ class Predictor:
 
         boundary_ws = self.decode == "boundary_watershed"
 
+        if self.sw_batch == "auto":
+            from .sliding_window import tile_origins
+
+            n_tiles = (len(tile_origins(ph, self.roi, self.overlap))
+                       * len(tile_origins(pw, self.roi, self.overlap)))
+            sw_batch = max(1, min(128, n_tiles))
+        else:
+            sw_batch = self.sw_batch
+
         @jax.jit
         def stage_forward(params, np01):
             logits = sliding_window_inference(
                 self.apply_fn, params, np01, roi=self.roi,
-                sw_batch=self.sw_batch, overlap=self.overlap,
+                sw_batch=sw_batch, overlap=self.overlap,
                 out_channels=self.num_class, mode=self.mode,
             )
             probs = jax.nn.softmax(logits, axis=-1)

@@ -111,6 +111,19 @@ def _segmented_min_scan(lab: jax.Array, mask: jax.Array, axis: int) -> jax.Array
     return jnp.where(mask, jnp.minimum(fv, bv), _INF)
 
 
+def _cheap_body(lab: jax.Array, mask: jax.Array,
+                connectivity: int) -> jax.Array:
+    """One cheap propagation iteration: (leading 3×3 sweep for 8-conn) +
+    row/col segmented scans + one trailing sweep (the fixed-point
+    certificate relation)."""
+    new = lab
+    if connectivity == 2:
+        new = _sweep_min(new, mask, connectivity)
+    new = _segmented_min_scan(new, mask, axis=1)
+    new = _segmented_min_scan(new, mask, axis=0)
+    return _sweep_min(new, mask, connectivity)
+
+
 def _propagate(lab: jax.Array, mask: jax.Array, connectivity: int,
                max_iters: int, cheap_iters: int = 12) -> jax.Array:
     """Run label propagation to the exact fixed point.
@@ -126,24 +139,23 @@ def _propagate(lab: jax.Array, mask: jax.Array, connectivity: int,
     def make_body(fused_cfg):
         def body(state):
             lab, _, it = state
-            new = lab
             if fused_cfg is not None:
                 from .pallas.sweeps import fused_sweeps
 
                 stripe_sz, k = fused_cfg
-                new = fused_sweeps(new, mask, k=k, stripe=stripe_sz,
+                new = fused_sweeps(lab, mask, k=k, stripe=stripe_sz,
                                    connectivity=connectivity)
-            elif connectivity == 2:
-                # one leading 3×3 sweep merges diagonals the scans can't
-                # cross; conn-1 paths are fully covered by the row/col
-                # scans, so the 4-conn body skips leading sweeps entirely
-                # (measured 16.7 → 7.4 ms for the 4.2 MP background pass)
+                new = _segmented_min_scan(new, mask, axis=1)
+                new = _segmented_min_scan(new, mask, axis=0)
+                # final sweep so the fixed-point check certifies convergence
+                # of the plain neighbor relation
                 new = _sweep_min(new, mask, connectivity)
-            new = _segmented_min_scan(new, mask, axis=1)
-            new = _segmented_min_scan(new, mask, axis=0)
-            # final sweep so the fixed-point check certifies convergence of
-            # the plain neighbor relation (fixed point ⇒ all neighbors equal)
-            new = _sweep_min(new, mask, connectivity)
+            else:
+                # conn-1 paths are fully covered by the row/col scans, so
+                # the 4-conn body skips leading sweeps entirely (measured
+                # 16.7 → 7.4 ms for the 4.2 MP background pass); 8-conn
+                # keeps one leading 3×3 sweep to merge diagonals
+                new = _cheap_body(lab, mask, connectivity)
             changed = jnp.any(new != lab)
             return new, changed, it + 1
 
@@ -292,16 +304,49 @@ def component_areas_by_sort(roots_flat: jax.Array,
     return jnp.where(mask_flat, area_px, 0)
 
 
+def small_component_mask_by_sort(roots_flat: jax.Array,
+                                 mask_flat: jax.Array,
+                                 threshold: int) -> jax.Array:
+    """Per-pixel bool: pixel's component area < threshold (False outside).
+
+    Same machinery as component_areas_by_sort, but the unsort pass carries
+    only the 1-byte threshold decision instead of the int32 area — the
+    second sort moves 5/8 of the bytes (a measurable slice of the ~11 ms
+    areas budget at 4.2 MP; see the ops/cc.py cost model).
+
+    A bounded-propagation "completeness certificate" variant was also
+    built and measured for the hole pass: it LOSES on realistic cell
+    masks (65.8 vs 23.1 ms at 4.2 MP) because a handful of narrow
+    background channels stay "small incomplete pieces" until iteration
+    8 of 11, and every fallback round pays a full certificate sort.
+    Full convergence + this lighter unsort is the winning shape.
+    """
+    n = roots_flat.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sr, si = jax.lax.sort((roots_flat, idx), num_keys=1, is_stable=False)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sr[1:] != sr[:-1]])
+    is_end = jnp.concatenate(
+        [sr[1:] != sr[:-1], jnp.ones((1,), jnp.bool_)])
+    start_pos = jax.lax.cummax(jnp.where(is_start, idx, -1))
+    end_pos = -jax.lax.cummax(jnp.where(is_end, -idx, -(n + 1))[::-1])[::-1]
+    small = (end_pos - start_pos + 1) < threshold
+    _, small_px = jax.lax.sort(
+        (si, small.astype(jnp.int8)), num_keys=1, is_stable=False)
+    return jnp.logical_and(mask_flat, small_px.astype(jnp.bool_))
+
+
 def _area_filter(mask: jax.Array, threshold: int, connectivity: int,
                  keep_large: bool, coarse_seed: bool = False) -> jax.Array:
     """Shared area-filter core (sort-based segmented areas, gather-free)."""
     h, w = mask.shape
     roots = _root_labels(mask, connectivity,
                          coarse_seed=coarse_seed).ravel()
-    pixel_area = component_areas_by_sort(roots, mask.ravel()).reshape(h, w)
+    small = small_component_mask_by_sort(
+        roots, mask.ravel(), threshold).reshape(h, w)
     if keep_large:
-        return jnp.logical_and(mask, pixel_area >= threshold)
-    return jnp.logical_and(mask, pixel_area < threshold)
+        return jnp.logical_and(mask, ~small)
+    return small
 
 
 @functools.partial(jax.jit, static_argnames=("min_size", "connectivity"))
@@ -316,15 +361,15 @@ def remove_small_holes_jax(mask: jax.Array, area_threshold: int = 64,
                            connectivity: int = 1) -> jax.Array:
     """Fill background components with area < area_threshold (on device).
 
-    Note: multigrid coarse seeding (_coarse_seed_init) was measured for
-    this pass and does NOT pay at 4.2 MP on v5e (35 ms vs 24 ms plain —
-    the segmented row/col scans already collapse the giant background in
-    few iterations; the block-reduce + coarse CC + upsample overhead
-    exceeds the savings). It remains available via
-    _root_labels(coarse_seed=True) for mask families where propagation is
-    genuinely iteration-bound."""
+    Note: multigrid coarse seeding (_coarse_seed_init) was re-measured for
+    this pass in the round-3 relay environment and still does not pay
+    (11.9 vs 11.4 ms roots at 4.2 MP — the 2-3 iterations it saves are
+    cancelled by the block-reduce + coarse CC + upsample overhead). It
+    remains available via _root_labels(coarse_seed=True) for mask
+    families where propagation is genuinely iteration-bound."""
     inv = jnp.logical_not(mask)
-    fill = _area_filter(inv, area_threshold, connectivity, keep_large=False)
+    fill = _area_filter(inv, area_threshold, connectivity,
+                        keep_large=False)
     return jnp.logical_or(mask, fill)
 
 
