@@ -133,3 +133,30 @@ def test_predictor_grayscale_device_expansion_parity():
     lab_rgb = pred.predict(to_hwc3(img))    # host-expanded 3-channel
     np.testing.assert_array_equal(lab_grey, lab_rgb)
     assert lab_grey.max() >= 2
+
+
+def test_predictor_sw_batch_auto_matches_explicit():
+    """sw_batch='auto' (MXU-sized tile batches, infer/predictor.py) must be
+    bit-identical to any explicit sw_batch: the tile set and blend are the
+    same, only the per-step batching differs."""
+    import jax.numpy as jnp
+
+    from cellseg_tpu.infer.predictor import Predictor
+
+    def apply_fn(params, tiles):
+        bright = tiles[..., :3].mean(-1) > 0.45
+        interior = jnp.where(bright, 5.0, -5.0)
+        return jnp.stack([-interior, interior,
+                          jnp.full_like(interior, -5.0)], axis=-1)
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 60, (80, 96)).astype(np.uint8)
+    img[8:24, 10:30] = 230
+    img[40:70, 30:60] = 210
+    img[12:28, 60:88] = 220
+
+    lab_auto = Predictor(apply_fn, params={}, roi=32, bucket=32).predict(img)
+    lab_2 = Predictor(apply_fn, params={}, roi=32, sw_batch=2,
+                      bucket=32).predict(img)
+    np.testing.assert_array_equal(lab_auto, lab_2)
+    assert lab_auto.max() >= 3
