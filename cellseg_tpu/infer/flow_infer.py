@@ -37,7 +37,7 @@ class FlowPredictor:
     def __init__(self, apply_fn, params, prob_threshold: float = 0.0,
                  n_iter: int = 100, diam_mean: float = NOMINAL_DIAMETER,
                  tile_threshold: int = 1024, roi: int = 512,
-                 sw_batch: int = 4, omni: bool = False):
+                 sw_batch: int | str = "auto", omni: bool = False):
         self.apply_fn = apply_fn
         self.params = params
         self.prob_threshold = prob_threshold
@@ -60,8 +60,22 @@ class FlowPredictor:
         method = "omni" if self.omni else "doubling"
         h, w = grey.shape
         if max(h, w) > self.tile_threshold:
-            # tiled path: blend flow+cellprob channels like logits
-            key = ("tiled",)
+            # tiled path: blend flow+cellprob channels like logits.
+            # "auto" batches tiles to fill the MXU (the small-channel UNet
+            # levels need many tiles per step — see infer/predictor.py),
+            # scaled by tile area against the 128-tiles-at-256² budget.
+            if self.sw_batch == "auto":
+                from .sliding_window import tile_origins
+
+                b = self.roi
+                ph_, pw_ = -(-h // b) * b, -(-w // b) * b
+                n_tiles = (len(tile_origins(ph_, self.roi, 0.25))
+                           * len(tile_origins(pw_, self.roi, 0.25)))
+                budget = max(1, int(128 * (256 / self.roi) ** 2))
+                sw_batch = max(1, min(budget, n_tiles))
+            else:
+                sw_batch = self.sw_batch
+            key = ("tiled", sw_batch)
             if key not in self._jitted:
                 from .sliding_window import sliding_window_inference
 
@@ -73,7 +87,7 @@ class FlowPredictor:
                 def f(p, x):
                     out = sliding_window_inference(
                         tiles_fn, p, x, roi=self.roi,
-                        sw_batch=self.sw_batch, overlap=0.25,
+                        sw_batch=sw_batch, overlap=0.25,
                         out_channels=3)
                     return decode_flow(out[..., :2], out[..., 2],
                                        self.prob_threshold, self.n_iter,
