@@ -1,13 +1,30 @@
-"""Real-microscopy quality anchor: leave-one-out on the 3 bundled images.
+"""Real-microscopy quality anchor on the 3 bundled labeled images.
 
 The only real labeled data available offline is the reference's 3 bundled
 (image, instance-label) pairs (/root/reference/data/Train_Labeled —
-cell_00225 1024² RGB, cell_00528 200² uint16, cell_00849 512² RGB; three
-different modalities). For each rotation this trains on 2 images and
-scores the held-out 3rd through the REAL CLIs, for the 3-class UNet and
-the distance pipeline (VERDICT r2 item 6). It also measures the
-device-vs-host watershed decode ΔF1 on the trained distance predictions
-(VERDICT r2 item 2's trained-checkpoint audit).
+cell_00225 1024² RGB brightfield (6 cells), cell_00528 200² uint16
+fluorescence (44 cells), cell_00849 512² RGB dense culture (187 cells);
+three DIFFERENT modalities).
+
+Two modes:
+
+- ``patch`` (default): quadrant holdout. Each image is split into 4
+  quadrants; ONE quadrant per image is held out (chosen per image so the
+  test patch actually contains interior instances — cell_00225's BR
+  quadrant is empty, e.g.), the other 3 are training data. ONE model per
+  pipeline is trained on the 9 training patches (mixed-modality, exactly
+  the challenge setting) and scored on the 3 held-out patches through
+  the REAL CLIs. This is the meaningful real-morphology anchor
+  (VERDICT r2 item 6).
+
+- ``loo``: leave-one-IMAGE-out (train on 2 images, score the 3rd, all 3
+  rotations). Because each image is a different modality, this measures
+  cross-modality generalization from a 2-image corpus and is degenerate
+  by construction (F1 ≈ 0.01 measured) — kept for the record.
+
+Both modes also measure the device-vs-host watershed decode agreement on
+the trained distance predictions (VERDICT r2 item 2's trained-checkpoint
+audit).
 
 Usage: python scripts/real_data_anchor.py --out /tmp/anchor
 Writes <out>/anchor.json; numbers are recorded in BASELINE.md.
@@ -24,8 +41,15 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 DATA = "/root/reference/data/Train_Labeled"
 NAMES = ["cell_00225.png", "cell_00528.tif", "cell_00849.png"]
+# per-image held-out quadrant: the one with the most interior (non-edge)
+# GT instances so the test patch is non-degenerate (cell_00225 has only
+# 6 sparse cells — its BR quadrant is EMPTY)
+HOLDOUT_QUAD = {"cell_00225": "bl", "cell_00528": "bl",
+                "cell_00849": "tr"}
 
 
 def run(cmd: list[str]) -> None:
@@ -40,7 +64,7 @@ def best_ckpt(model_dir: str) -> str:
     raise FileNotFoundError(f"no checkpoint in {model_dir}")
 
 
-def f1_of(gt_dir: str, seg_dir: str, out_dir: str) -> float:
+def f1_per_case(gt_dir: str, seg_dir: str, out_dir: str) -> dict:
     run([sys.executable, "-m", "cellseg_tpu.cli.compute_metric",
          "-g", gt_dir, "-s", seg_dir,
          "--gt_suffix", "_label.tiff", "--seg_suffix", "_label.tiff",
@@ -48,11 +72,47 @@ def f1_of(gt_dir: str, seg_dir: str, out_dir: str) -> float:
     import pandas as pd
 
     df = pd.read_csv(os.path.join(out_dir, "val-0.5.csv"))
-    return float(df["F1"].mean())
+    per = {str(r["names"]): float(r["F1"]) for _, r in df.iterrows()}
+    per["mean"] = float(df["F1"].mean())
+    return per
+
+
+def stage_patch_holdout(out: str) -> tuple[str, str]:
+    """Quadrant split: HOLDOUT_QUAD of each image → test/, rest → train/."""
+    import numpy as np
+
+    from cellseg_tpu.io.images import imread, imwrite, imwrite_instance_tiff
+
+    root = os.path.join(out, "patch_holdout")
+    for sub in ("train/images", "train/labels", "test/images",
+                "test/labels"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    for n in NAMES:
+        stem, ext = n.rsplit(".", 1)
+        img = np.asarray(imread(os.path.join(DATA, "images", n)))
+        lbl = np.asarray(imread(
+            os.path.join(DATA, "labels", f"{stem}_label.tiff")))
+        h, w = lbl.shape
+        hh, ww = h // 2, w // 2
+        quads = {"tl": (0, 0), "tr": (0, ww), "bl": (hh, 0),
+                 "br": (hh, ww)}
+        for q, (y, x) in quads.items():
+            sl = (slice(y, y + hh), slice(x, x + ww))
+            sub_lbl = lbl[sl]
+            # compact instance ids after the cut
+            _, sub_lbl = np.unique(sub_lbl, return_inverse=True)
+            sub_lbl = sub_lbl.reshape(lbl[sl].shape).astype(np.int32)
+            dst = "test" if q == HOLDOUT_QUAD[stem] else "train"
+            imwrite(os.path.join(root, dst, "images",
+                                 f"{stem}_{q}.{ext}"), img[sl])
+            imwrite_instance_tiff(
+                os.path.join(root, dst, "labels",
+                             f"{stem}_{q}_label.tiff"), sub_lbl)
+    return os.path.join(root, "train"), os.path.join(root, "test")
 
 
 def stage_rotation(out: str, holdout: str) -> tuple[str, str]:
-    """train/ holds the other two pairs; test/ holds the holdout."""
+    """LOO: train/ holds the other two pairs; test/ holds the holdout."""
     rot = os.path.join(out, f"rot_{holdout.split('.')[0]}")
     for sub in ("train/images", "train/labels", "test/images",
                 "test/labels"):
@@ -109,9 +169,56 @@ def decode_delta_f1(model_dir: str, test_images: str) -> dict:
     return out
 
 
+def eval_pipelines(rot: str, train: str, test: str, args,
+                   results: dict, key: str) -> None:
+    if "3class" in args.pipelines:
+        pre = os.path.join(rot, "train_pre")
+        if not os.path.isdir(pre):
+            run([sys.executable, "-m",
+                 "cellseg_tpu.cli.pre_process_3class",
+                 "-i", train, "-o", pre])
+        wd = os.path.join(rot, "wd3c")
+        model_dir = os.path.join(wd, "unet_3class")
+        if not os.path.exists(os.path.join(model_dir, "final_model.ckpt")):
+            run([sys.executable, "-m", "cellseg_tpu.cli.train",
+                 "--data_path", pre, "--work_dir", wd,
+                 "--max_epochs", str(args.epochs3c),
+                 "--min_val_epoch", "4", "--epoch_tolerance", "60",
+                 "--batch_size", "4"])
+        for decode, rkey in (("cc", "3class"),
+                             ("boundary_watershed", "3class_watershed")):
+            seg = os.path.join(rot, f"seg3c_{decode}")
+            run([sys.executable, "-m", "cellseg_tpu.cli.predict",
+                 "-i", os.path.join(test, "images"), "-o", seg,
+                 "--model_path", model_dir,
+                 "--checkpoint", best_ckpt(model_dir),
+                 "--decode", decode])
+            results[rkey][key] = f1_per_case(
+                os.path.join(test, "labels"), seg,
+                os.path.join(rot, f"m3c_{decode}"))
+
+    if "distance" in args.pipelines:
+        wd = os.path.join(rot, "wdd")
+        model_dir = os.path.join(wd, "dunet_distance")
+        if not os.path.exists(os.path.join(model_dir, "best_model.ckpt")):
+            run([sys.executable, "-m", "cellseg_tpu.cli.train_distance",
+                 "--data_path", train, "--work_dir", wd,
+                 "--crop_size", "256",
+                 "--max_epochs", str(args.epochs_dist)])
+        seg = os.path.join(rot, "segd")
+        run([sys.executable, "-m", "cellseg_tpu.cli.infer_distance",
+             "-i", os.path.join(test, "images"), "-o", seg,
+             "--model_path", model_dir])
+        results["distance"][key] = f1_per_case(
+            os.path.join(test, "labels"), seg, os.path.join(rot, "md"))
+        results["decode_delta"][key] = decode_delta_f1(
+            model_dir, os.path.join(test, "images"))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="/tmp/cellseg_real_anchor")
+    p.add_argument("--mode", choices=["patch", "loo"], default="patch")
     p.add_argument("--epochs3c", type=int, default=300)
     p.add_argument("--epochs_dist", type=int, default=320)
     p.add_argument("--pipelines", nargs="+", default=["3class", "distance"])
@@ -120,62 +227,22 @@ def main():
 
     results = {"3class": {}, "3class_watershed": {}, "distance": {},
                "decode_delta": {}}
-    for holdout in args.rotations:
-        key = holdout.split(".")[0]
-        train, test = stage_rotation(args.out, holdout)
+    if args.mode == "patch":
+        train, test = stage_patch_holdout(args.out)
         rot = os.path.dirname(train)
-
-        if "3class" in args.pipelines:
-            pre = os.path.join(rot, "train_pre")
-            if not os.path.isdir(pre):
-                run([sys.executable, "-m",
-                     "cellseg_tpu.cli.pre_process_3class",
-                     "-i", train, "-o", pre])
-            wd = os.path.join(rot, "wd3c")
-            model_dir = os.path.join(wd, "unet_3class")
-            if not os.path.exists(os.path.join(model_dir,
-                                               "final_model.ckpt")):
-                run([sys.executable, "-m", "cellseg_tpu.cli.train",
-                     "--data_path", pre, "--work_dir", wd,
-                     "--max_epochs", str(args.epochs3c),
-                     "--min_val_epoch", "4", "--epoch_tolerance", "60",
-                     "--batch_size", "4"])
-            for decode, rkey in (("cc", "3class"),
-                                 ("boundary_watershed",
-                                  "3class_watershed")):
-                seg = os.path.join(rot, f"seg3c_{decode}")
-                run([sys.executable, "-m", "cellseg_tpu.cli.predict",
-                     "-i", os.path.join(test, "images"), "-o", seg,
-                     "--model_path", model_dir,
-                     "--checkpoint", best_ckpt(model_dir),
-                     "--decode", decode])
-                results[rkey][key] = f1_of(
-                    os.path.join(test, "labels"), seg,
-                    os.path.join(rot, f"m3c_{decode}"))
-
-        if "distance" in args.pipelines:
-            wd = os.path.join(rot, "wdd")
-            model_dir = os.path.join(wd, "dunet_distance")
-            if not os.path.exists(os.path.join(model_dir,
-                                               "best_model.ckpt")):
-                run([sys.executable, "-m",
-                     "cellseg_tpu.cli.train_distance",
-                     "--data_path", train, "--work_dir", wd,
-                     "--crop_size", "256",
-                     "--max_epochs", str(args.epochs_dist)])
-            seg = os.path.join(rot, "segd")
-            run([sys.executable, "-m", "cellseg_tpu.cli.infer_distance",
-                 "-i", os.path.join(test, "images"), "-o", seg,
-                 "--model_path", model_dir])
-            results["distance"][key] = f1_of(
-                os.path.join(test, "labels"), seg, os.path.join(rot, "md"))
-            results["decode_delta"][key] = decode_delta_f1(
-                model_dir, os.path.join(test, "images"))
-
+        eval_pipelines(rot, train, test, args, results, "patch_holdout")
         with open(os.path.join(args.out, "anchor.json"), "w") as f:
             json.dump(results, f, indent=2)
-        print(json.dumps({key: {k: results[k].get(key)
-                                for k in results}}), flush=True)
+    else:
+        for holdout in args.rotations:
+            key = holdout.split(".")[0]
+            train, test = stage_rotation(args.out, holdout)
+            eval_pipelines(os.path.dirname(train), train, test, args,
+                           results, key)
+            with open(os.path.join(args.out, "anchor.json"), "w") as f:
+                json.dump(results, f, indent=2)
+            print(json.dumps({key: {k: results[k].get(key)
+                                    for k in results}}), flush=True)
 
     print(json.dumps(results))
 
