@@ -37,6 +37,33 @@ def _shift2(arr, dy, dx, fill):
 _INF_HOPS = jnp.int32(2**31 - 1)
 
 
+def relax_once(cost, hops, label, e, mask):
+    """One 8-neighbor lexicographic relaxation sweep (the while-loop body
+    of watershed_jax, exposed for the Pallas fused kernel's parity
+    tests)."""
+    new_cost, new_hops, new_label = cost, hops, label
+    for dy, dx in _SHIFTS_8:
+        nc = _shift2(cost, dy, dx, _BIG)
+        nh = _shift2(hops, dy, dx, _INF_HOPS)
+        nl = _shift2(label, dy, dx, 0)
+        cand = jnp.maximum(nc, e)  # minimax path cost through neighbor
+        cand_h = jnp.where(nh == _INF_HOPS, _INF_HOPS, nh + 1)
+        cost_eq = cand == new_cost
+        better = jnp.logical_or(
+            cand < new_cost,
+            jnp.logical_and(cost_eq, jnp.logical_or(
+                cand_h < new_hops,
+                jnp.logical_and(cand_h == new_hops,
+                                jnp.logical_and(nl > 0,
+                                                nl < new_label)))),
+        )
+        better = jnp.logical_and(better, jnp.logical_and(mask, nl > 0))
+        new_cost = jnp.where(better, cand, new_cost)
+        new_hops = jnp.where(better, cand_h, new_hops)
+        new_label = jnp.where(better, nl, new_label)
+    return new_cost, new_hops, new_label
+
+
 @functools.partial(jax.jit, static_argnames=("max_iters",))
 def watershed_jax(image: jax.Array, markers: jax.Array, mask: jax.Array,
                   max_iters: int = 512):
@@ -63,35 +90,36 @@ def watershed_jax(image: jax.Array, markers: jax.Array, mask: jax.Array,
     hops = jnp.where(seeded, 0, _INF_HOPS)
     label = jnp.where(seeded, markers.astype(jnp.int32), 0)
 
+    from .pallas.ws_sweeps import fused_ws_sweeps, ws_sweeps_config
+
+    cfg = ws_sweeps_config(*image.shape)
+
     def cond(state):
         _, _, _, changed, it = state
         return jnp.logical_and(changed, it < max_iters)
 
-    def body(state):
-        cost, hops, label, _, it = state
-        new_cost, new_hops, new_label = cost, hops, label
-        for dy, dx in _SHIFTS_8:
-            nc = _shift2(cost, dy, dx, _BIG)
-            nh = _shift2(hops, dy, dx, _INF_HOPS)
-            nl = _shift2(label, dy, dx, 0)
-            cand = jnp.maximum(nc, e)  # minimax path cost through neighbor
-            cand_h = jnp.where(nh == _INF_HOPS, _INF_HOPS, nh + 1)
-            cost_eq = cand == new_cost
-            better = jnp.logical_or(
-                cand < new_cost,
-                jnp.logical_and(cost_eq, jnp.logical_or(
-                    cand_h < new_hops,
-                    jnp.logical_and(cand_h == new_hops,
-                                    jnp.logical_and(nl > 0,
-                                                    nl < new_label)))),
-            )
-            better = jnp.logical_and(better, jnp.logical_and(mask, nl > 0))
-            new_cost = jnp.where(better, cand, new_cost)
-            new_hops = jnp.where(better, cand_h, new_hops)
-            new_label = jnp.where(better, nl, new_label)
-        changed = jnp.any(jnp.logical_or(new_label != label,
-                                         new_hops != hops))
-        return new_cost, new_hops, new_label, changed, it + 1
+    if cfg is not None:
+        # k relaxation sweeps per HBM round trip (Pallas VMEM kernel) —
+        # bit-identical to k plain sweeps; convergence checked per block
+        stripe, k = cfg
+
+        def body(state):
+            cost, hops, label, _, it = state
+            nc, nh, nl = fused_ws_sweeps(e, mask, cost, hops, label,
+                                         k=k, stripe=stripe)
+            changed = jnp.any(
+                jnp.logical_or(nl != label,
+                               jnp.logical_or(nh != hops, nc != cost)))
+            return nc, nh, nl, changed, it + k
+    else:
+        def body(state):
+            cost, hops, label, _, it = state
+            new_cost, new_hops, new_label = relax_once(
+                cost, hops, label, e, mask)
+            changed = jnp.any(jnp.logical_or(
+                new_label != label,
+                jnp.logical_or(new_hops != hops, new_cost != cost)))
+            return new_cost, new_hops, new_label, changed, it + 1
 
     _, _, label, _, _ = jax.lax.while_loop(
         cond, body, (cost, hops, label, jnp.bool_(True), jnp.int32(0))
