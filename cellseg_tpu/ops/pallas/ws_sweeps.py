@@ -63,7 +63,7 @@ def _relax_vmem(cost, hops, label, e, mask):
 
 def _kernel(e_hbm, mask_hbm, cost_hbm, hops_hbm, label_hbm,
             oc_hbm, oh_hbm, ol_hbm,
-            e_v, m_v, c_v, h_v, l_v, sem_a, sem_b,
+            e_v, m_v, c_v, h_v, l_v, sems,
             *, stripe: int, k: int, h: int, w: int):
     i = pl.program_id(0)
     ext = stripe + 2 * k
@@ -72,18 +72,21 @@ def _kernel(e_hbm, mask_hbm, cost_hbm, hops_hbm, label_hbm,
     off = pl.multiple_of(i * stripe - start, 8)
 
     copies = [
-        pltpu.make_async_copy(e_hbm.at[pl.ds(start, ext), :], e_v, sem_a),
+        pltpu.make_async_copy(e_hbm.at[pl.ds(start, ext), :], e_v,
+                              sems.at[0]),
         pltpu.make_async_copy(mask_hbm.at[pl.ds(start, ext), :], m_v,
-                              sem_b),
+                              sems.at[1]),
         pltpu.make_async_copy(cost_hbm.at[pl.ds(start, ext), :], c_v,
-                              sem_a),
+                              sems.at[2]),
         pltpu.make_async_copy(hops_hbm.at[pl.ds(start, ext), :], h_v,
-                              sem_b),
+                              sems.at[3]),
         pltpu.make_async_copy(label_hbm.at[pl.ds(start, ext), :], l_v,
-                              sem_a),
+                              sems.at[4]),
     ]
+    # overlap the five plane loads: start all, then wait all
     for cp in copies:
         cp.start()
+    for cp in copies:
         cp.wait()
 
     e = e_v[:]
@@ -100,16 +103,17 @@ def _kernel(e_hbm, mask_hbm, cost_hbm, hops_hbm, label_hbm,
     outs = [
         pltpu.make_async_copy(c_v.at[pl.ds(off, stripe), :],
                               oc_hbm.at[pl.ds(out_start, stripe), :],
-                              sem_a),
+                              sems.at[0]),
         pltpu.make_async_copy(h_v.at[pl.ds(off, stripe), :],
                               oh_hbm.at[pl.ds(out_start, stripe), :],
-                              sem_b),
+                              sems.at[1]),
         pltpu.make_async_copy(l_v.at[pl.ds(off, stripe), :],
                               ol_hbm.at[pl.ds(out_start, stripe), :],
-                              sem_a),
+                              sems.at[2]),
     ]
     for cp in outs:
         cp.start()
+    for cp in outs:
         cp.wait()
 
 
@@ -142,8 +146,7 @@ def fused_ws_sweeps(e: jax.Array, mask: jax.Array, cost: jax.Array,
             pltpu.VMEM((ext, w), jnp.float32),
             pltpu.VMEM((ext, w), jnp.int32),
             pltpu.VMEM((ext, w), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((5,)),
         ],
         interpret=interpret,
     )(e, mask.astype(jnp.int32), cost, hops, label)
