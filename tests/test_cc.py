@@ -106,9 +106,13 @@ def test_label_components_fuzz_large(rng):
             assert np.array_equal(got, want), (p, conn)
 
 
+@pytest.mark.slow
 def test_coarse_seeded_roots_match_plain():
     """Multigrid coarse seeding must reach the identical fixed point
-    (component-min index) as plain init on adversarial masks."""
+    (component-min index) as plain init on adversarial masks.
+
+    Slow tier: coarse seeding is an opt-in path
+    (_root_labels(coarse_seed=True)) not engaged by any default decode."""
     from cellseg_tpu.ops.cc import _root_labels
 
     rng = np.random.RandomState(11)
