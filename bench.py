@@ -138,6 +138,9 @@ def main_distance(H: int = 2048):
         "vs_baseline": round(mps / 0.1, 2),
         "instances_decoded": n_instances,
         "stage_ms_at_4.2MP": stages,
+        # sync RTT >100 ms means heavy ambient tunnel contention: the
+        # net-of-sync stage times (and thus the MP/s) are then unreliable
+        "contended": bool(sync_ms > 100.0),
     }))
     return 0
 
@@ -197,6 +200,62 @@ def main_flow(H: int = 2048):
         "vs_baseline": round(mps / 0.1, 2),
         "instances_decoded": n_instances,
         "stage_ms_at_4.2MP": stages,
+        "contended": bool(sync_ms > 100.0),
+    }))
+    return 0
+
+
+def main_train(batch: int = 8, steps: int = 30):
+    """Training-step throughput for the flagship 3-class loop: one jitted
+    step = on-device augmentation + UNet fwd/bwd (DiceCE) + AdamW update
+    (reference loop: model_training_3class.py:238-341, batch 8, 256² ROI —
+    which syncs loss to host EVERY step; here the host fetches once at the
+    end, so the chip never idles between steps)."""
+    from cellseg_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cellseg_tpu.models import build_model
+    from cellseg_tpu.train.steps import TrainState, make_train_step
+
+    model = build_model("unet", num_class=3, dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 256, 256, 3), jnp.float32))
+    tx = optax.adamw(6e-4)
+    state = TrainState.create(
+        lambda p, x, train=False: model.apply(p, x), params, tx)
+    step = make_train_step(num_classes=3)
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 255, (batch, 256, 256, 3),
+                                    dtype=np.uint8))
+    lbls = jnp.asarray(rng.integers(0, 3, (batch, 256, 256),
+                                    dtype=np.int32))
+    key = jax.random.PRNGKey(1)
+
+    # compile + warmup (donated state: thread it through)
+    state, loss = step(state, imgs, lbls, key)
+    float(loss)  # force materialization (tunnel: block_until_ready lies)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, loss = step(state, imgs, lbls,
+                           jax.random.fold_in(key, i))
+    final = float(loss)  # one sync for the whole run
+    dt = time.perf_counter() - t0
+    steps_s = steps / dt
+    px_s = steps_s * batch * 256 * 256
+    print(json.dumps({
+        "metric": "train_step_throughput_3class",
+        "value": round(px_s / 1e6, 3),
+        "unit": (f"megapixels/sec/chip (train, batch {batch} x 256^2, "
+                 "aug+fwd+bwd+AdamW)"),
+        "vs_baseline": None,  # reference publishes no steps/s
+        "steps_per_sec": round(steps_s, 2),
+        "final_loss": round(final, 4),
     }))
     return 0
 
@@ -315,6 +374,7 @@ def main():
         "stage_ms_at_4.2MP": stages,
         "device_compute_only_mps": compute_mps,
         "rates_all_rounds": [round(r, 2) for r in rates],
+        "contended": bool(sync_ms > 100.0),
     }))
     return 0
 
@@ -326,8 +386,8 @@ if __name__ == "__main__":
     if "--pipeline" in sys.argv:
         which = sys.argv[sys.argv.index("--pipeline") + 1]
         kw = {}
-        if "--size" in sys.argv and which != "3class":
+        if "--size" in sys.argv and which in ("distance", "flow"):
             kw["H"] = int(sys.argv[sys.argv.index("--size") + 1])
         sys.exit({"distance": main_distance, "flow": main_flow,
-                  "3class": main}[which](**kw))
+                  "train": main_train, "3class": main}[which](**kw))
     sys.exit(main())
