@@ -60,6 +60,45 @@ def make_slide(H: int = 2048, W: int = 2048, n_cells: int = 2000,
     return img
 
 
+def _watchdog(metric: str, probe_timeout_s: float = 300.0,
+              total_timeout_s: float = 3000.0) -> None:
+    """Guard against a hung device backend (the axon tunnel has been
+    observed to stop responding entirely — even `jax.devices()` blocks
+    forever). The driver contract is ONE JSON line on stdout; a silent
+    hang loses the round's bench artifact, so probe the backend on a
+    daemon thread with a deadline and emit an error line instead of
+    blocking. A second (coarser) deadline bounds the whole run."""
+    import threading
+
+    def fail(why: str) -> None:
+        print(json.dumps({
+            "metric": metric, "value": 0.0,
+            "unit": "megapixels/sec/chip", "vs_baseline": 0.0,
+            "error": why,
+        }), flush=True)
+        os._exit(2)
+
+    ready = threading.Event()
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        float(jnp.asarray(1.0) + 1.0)
+        ready.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not ready.wait(probe_timeout_s):
+        fail(f"device backend unreachable: no response to a trivial op in "
+             f"{probe_timeout_s:.0f}s (axon tunnel down?)")
+    timer = threading.Timer(
+        total_timeout_s,
+        lambda: fail(f"bench exceeded {total_timeout_s:.0f}s wall clock "
+                     "(backend stalled mid-run?)"))
+    timer.daemon = True
+    timer.start()
+
+
 def _stage_timer(sync):
     import time as _t
 
@@ -383,11 +422,17 @@ if __name__ == "__main__":
     # driver contract: bare `python bench.py` prints the flagship 3-class
     # line; --pipeline distance|flow bench the other decode families
     # (VERDICT r2 item 3)
+    _METRICS = {"distance": "distance_pipeline_throughput",
+                "flow": "flow_pipeline_throughput",
+                "train": "train_step_throughput_3class",
+                "3class": "sliding_window_instance_seg_throughput"}
     if "--pipeline" in sys.argv:
         which = sys.argv[sys.argv.index("--pipeline") + 1]
         kw = {}
         if "--size" in sys.argv and which in ("distance", "flow"):
             kw["H"] = int(sys.argv[sys.argv.index("--size") + 1])
+        _watchdog(_METRICS[which])
         sys.exit({"distance": main_distance, "flow": main_flow,
                   "train": main_train, "3class": main}[which](**kw))
+    _watchdog(_METRICS["3class"])
     sys.exit(main())
