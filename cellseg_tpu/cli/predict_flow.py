@@ -28,7 +28,15 @@ def main(argv=None):
     parser = argparse.ArgumentParser("Flow-field inference")
     parser.add_argument("-i", "--input_path", required=True, type=str)
     parser.add_argument("-o", "--output_path", required=True, type=str)
-    parser.add_argument("--model_path", required=True, type=str)
+    default_model = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "assets", "pretrained_flow.ckpt")
+    parser.add_argument("--model_path",
+                        default=default_model if os.path.isfile(default_model)
+                        else None, type=str,
+                        help="model dir (config.json sidecar) or .ckpt file; "
+                             "defaults to the bundled pretrained flow model "
+                             "(zero-shot, the cellpose-cyto2 analog)")
     parser.add_argument("--checkpoint", default="best_model.ckpt")
     parser.add_argument("--prob_threshold", default=0.0, type=float)
     parser.add_argument("--n_iter", default=100, type=int)
@@ -43,6 +51,8 @@ def main(argv=None):
     parser.add_argument("--omni", action="store_true",
                         help="omnipose-style suppressed-Euler decode")
     args = parser.parse_args(argv)
+    if args.model_path is None:
+        parser.error("--model_path is required (no bundled checkpoint found)")
 
     from ..utils.cache import enable_compilation_cache
     enable_compilation_cache()

@@ -22,6 +22,19 @@ def main(argv=None):
     parser.add_argument("--trainset_dir", default=None, type=str,
                         help="where to build/cache the crop trainset")
     parser.add_argument("--crop_size", default=320, type=int)
+    parser.add_argument("--mode", default=None, choices=["GT", "ST", "GT+ST"],
+                        help="CTC annotation mode: treat --data_path as a "
+                             "Cell Tracking Challenge cell-type dir "
+                             "(reference train.py --mode)")
+    parser.add_argument("--cell_type", default="", type=str,
+                        help="CTC cell-type name (FOI margins, settings)")
+    parser.add_argument("--split", default=None, type=str,
+                        help="frozen-split JSON ({'train': [...], 'val': "
+                             "[...]}) to reproduce an exact crop split "
+                             "(kit-sch-ge split-file analog)")
+    parser.add_argument("--st_limit", default=280, type=int,
+                        help="max ST crops in GT+ST mode (reference quota)")
+    parser.add_argument("--val_frac", default=0.2, type=float)
     parser.add_argument("--cell_radius", default=None, type=int,
                         help="override the stats-derived EDT window radius")
     parser.add_argument("--neighbor_radius", default=None, type=int,
@@ -56,13 +69,16 @@ def main(argv=None):
     enable_compilation_cache()
 
     data = args.data_path
-    if os.path.isdir(os.path.join(data, "images")):
+    if args.mode or os.path.isdir(os.path.join(data, "images")):
         trainset = args.trainset_dir or os.path.join(args.work_dir,
                                                      "distance_trainset")
         if not os.path.isdir(os.path.join(trainset, "train")):
             print(f"building distance trainset in {trainset}")
             info = create_distance_training_set(
                 data, trainset, crop_size=args.crop_size, seed=args.seed,
+                val_frac=args.val_frac,
+                ctc_mode=args.mode, cell_type=args.cell_type,
+                st_limit=args.st_limit, frozen_split=args.split,
                 cell_radius=args.cell_radius,
                 neighbor_radius=args.neighbor_radius)
             print("trainset:", info)

@@ -66,12 +66,22 @@ def load_sidecar(directory: str) -> dict:
 
 
 def load_model_for_inference(model_dir: str, checkpoint: str = "best_model.ckpt"):
-    """Rebuild (model, params) from a checkpoint directory + sidecar."""
+    """Rebuild (model, params) from a checkpoint directory + sidecar.
+
+    Also accepts a bare ``.ckpt`` FILE path (e.g. the bundled
+    ``assets/pretrained_flow.ckpt``), in which case the architecture
+    sidecar is the sibling ``<stem>.json``."""
     import jax.numpy as jnp
 
     from ..models import build_model
 
-    cfg = load_sidecar(model_dir)
+    if os.path.isfile(model_dir):
+        ckpt_path = model_dir
+        with open(os.path.splitext(model_dir)[0] + ".json") as f:
+            cfg = json.load(f)
+    else:
+        ckpt_path = os.path.join(model_dir, checkpoint)
+        cfg = load_sidecar(model_dir)
     arch = {k: tuple(v) if isinstance(v, list) else v
             for k, v in cfg.get("architecture", {}).items()}
     model = build_model(
@@ -81,7 +91,7 @@ def load_model_for_inference(model_dir: str, checkpoint: str = "best_model.ckpt"
         dtype=jnp.bfloat16 if cfg.get("dtype") == "bfloat16" else jnp.float32,
         **arch,
     )
-    payload = load_checkpoint(os.path.join(model_dir, checkpoint))
+    payload = load_checkpoint(ckpt_path)
     # initialize a template to restore against
     dummy = jnp.zeros((1, cfg.get("input_size", 256), cfg.get("input_size", 256),
                        cfg.get("in_channels", 3)), jnp.float32)

@@ -213,3 +213,37 @@ def test_combine_training_sets_caps_and_subsampling(tmp_path):
     out3 = str(tmp_path / "combined3")
     info3 = combine_training_sets({"C": big}, out3, mode="GT", seed=1)
     assert 50 <= info3["train"]["C"] <= 110  # ~0.5 * 160
+
+
+def test_cli_ctc_mode_and_frozen_split(tmp_path, monkeypatch):
+    """The train_distance CLI exposes the builder's CTC knobs
+    (reference train.py --mode/--split/--cell_type): --mode routes a CTC
+    tree through the builder and --split freezes the crop membership."""
+    from cellseg_tpu.cli import train_distance as cli
+
+    root = str(tmp_path / "ctc")
+    _write_ctc_tree(root, n_frames=4, with_st=False, gt_frames=(0, 1, 2, 3))
+
+    seen = {}
+
+    def fake_train(cfg):
+        seen["data_path"] = cfg.data_path
+        return {"best_val_loss": 0.0, "epochs_run": 0, "wall_seconds": 0.0}
+
+    monkeypatch.setattr(cli, "train_distance", fake_train)
+
+    wd1 = str(tmp_path / "wd1")
+    cli.main(["--data_path", root, "--work_dir", wd1, "--mode", "GT",
+              "--crop_size", "96", "--val_frac", "0.5"])
+    ts1 = os.path.join(wd1, "distance_trainset")
+    assert seen["data_path"] == ts1
+    split1 = json.load(open(os.path.join(ts1, "split.json")))
+    assert split1["train"] and split1["val"]
+
+    wd2 = str(tmp_path / "wd2")
+    cli.main(["--data_path", root, "--work_dir", wd2, "--mode", "GT",
+              "--crop_size", "96", "--val_frac", "0.5",
+              "--split", os.path.join(ts1, "split.json")])
+    split2 = json.load(open(
+        os.path.join(wd2, "distance_trainset", "split.json")))
+    assert split1 == split2

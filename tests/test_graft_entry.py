@@ -6,6 +6,7 @@ import jax
 import pytest
 
 
+@pytest.mark.slow
 def test_entry_compiles():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g
@@ -15,6 +16,7 @@ def test_entry_compiles():
     assert out.shape == (4, 256, 256, 3)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g

@@ -57,6 +57,7 @@ def test_flownet_heads():
     assert flow.shape == (1, 64, 64, 2) and prob.shape == (1, 64, 64, 1)
 
 
+@pytest.mark.slow
 def test_unet_gradients_flow(small_unet):
     m, params = small_unet
     from cellseg_tpu.train.losses import dice_ce_loss

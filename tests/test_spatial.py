@@ -47,6 +47,7 @@ def test_spatial_sliding_window_matches_single(mesh):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_spatial_decode_mask_matches_host(mesh):
     from cellseg_tpu.ops.host_morphology import (
         remove_small_holes,

@@ -28,6 +28,7 @@ def pointwise_apply(params, tiles):
     return tiles * 3.0 - 1.0
 
 
+@pytest.mark.slow
 def test_forward_matches_single(mesh):
     rng = np.random.default_rng(0)
     roi, overlap = 64, 0.25
@@ -48,6 +49,7 @@ def test_forward_matches_single(mesh):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_decode_mask_matches_host(mesh):
     from scipy.ndimage import gaussian_filter
 
@@ -101,6 +103,7 @@ def test_wide_slide_padding_ratio():
     assert ratio_2d < ratio_1d / 2, (ratio_2d, ratio_1d)
 
 
+@pytest.mark.slow
 def test_predictor2d_end_to_end(mesh):
     """Full SpatialPredictor2D pipeline on a (2, 4) mesh vs the host
     decode of the same (pointwise) probability map."""

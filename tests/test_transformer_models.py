@@ -17,6 +17,7 @@ def test_unetr_tiny_shapes():
     assert y.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_swin_tiny_shapes():
     m = SwinUNETR2D(feature_size=8, depths=(1, 1, 1, 1),
                     num_heads=(1, 2, 4, 8), window_size=4)
@@ -42,6 +43,7 @@ def test_build_model_dispatch():
         build_model("nope")
 
 
+@pytest.mark.slow
 def test_unetr_debug_intermediates():
     """debug=True returns all encoder/decoder intermediates (reference
     unetr2d.py:175-178)."""
