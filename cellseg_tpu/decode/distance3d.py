@@ -58,42 +58,56 @@ def watershed3d_host(image: np.ndarray, markers: np.ndarray,
                      mask: np.ndarray, max_iters: int = 4096) -> np.ndarray:
     """Vectorized minimax-path watershed in 3D (26-neighborhood).
 
-    Each masked voxel is assigned to the marker with the lowest pass-height
-    (minimax) path cost, ties broken by smallest marker id — the same
-    semantics as the 2D device watershed (ops/watershed.py). Iterative
-    whole-volume relaxation (26 shifted min/max passes per sweep) replaces
-    the earlier per-voxel Python priority flood, which was impractically
-    slow beyond ~1 Mvox; sweeps converge in O(basin diameter) iterations
-    at numpy C speed.
+    Each masked voxel is assigned to the marker with the lexicographically
+    smallest (minimax pass-height, path length, marker id) key — the same
+    first-arrival plateau semantics as the 2D device watershed
+    (ops/watershed.py): the path-length plane splits equal-elevation
+    plateaus geodesically between markers and protects seed voxels
+    (a seed has hops 0; any rival front arrives with hops ≥ 1 and a cost
+    ≥ the seed's own elevation, so seeds are never relabeled — matching
+    skimage's fixed markers). Iterative whole-volume relaxation (26
+    shifted min/max passes per sweep) replaces the earlier per-voxel
+    Python priority flood, which was impractically slow beyond ~1 Mvox;
+    sweeps converge in O(basin diameter) iterations at numpy C speed.
     """
     big = np.float64(3.0e38)
+    inf_hops = np.int64(2 ** 62)
     mask = mask.astype(bool)
     nz, h, w = image.shape
     e = np.where(mask, image.astype(np.float64), big)
     seeded = (markers > 0) & mask
     cost = np.where(seeded, e, big)
+    hops = np.where(seeded, np.int64(0), inf_hops)
     label = np.where(seeded, markers.astype(np.int64), 0)
     offsets = [(dz, dy, dx)
                for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
                if (dz, dy, dx) != (0, 0, 0)]
     for _ in range(max_iters):
         pc = np.pad(cost, 1, constant_values=big)
+        ph = np.pad(hops, 1, constant_values=inf_hops)
         pl = np.pad(label, 1, constant_values=0)
         new_cost = cost.copy()
+        new_hops = hops.copy()
         new_label = label.copy()
         for dz, dy, dx in offsets:
             nc = pc[1 + dz:1 + dz + nz, 1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+            nh = ph[1 + dz:1 + dz + nz, 1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
             nl = pl[1 + dz:1 + dz + nz, 1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
             cand = np.maximum(nc, e)  # minimax path cost through neighbor
-            better = (cand < new_cost) | (
-                (cand == new_cost) & (nl > 0) & (nl < new_label))
+            cand_h = np.where(nh == inf_hops, inf_hops, nh + 1)
+            cost_eq = cand == new_cost
+            better = (cand < new_cost) | (cost_eq & (
+                (cand_h < new_hops)
+                | ((cand_h == new_hops) & (nl > 0) & (nl < new_label))))
             better &= mask & (nl > 0)
             np.copyto(new_cost, cand, where=better)
+            np.copyto(new_hops, cand_h, where=better)
             np.copyto(new_label, nl, where=better)
         if (np.array_equal(new_label, label)
+                and np.array_equal(new_hops, hops)
                 and np.array_equal(new_cost, cost)):
             break
-        cost, label = new_cost, new_label
+        cost, hops, label = new_cost, new_hops, new_label
     return np.where(mask, label, 0)
 
 

@@ -117,16 +117,30 @@ def spatial_sliding_window(apply_fn, params, image, mesh: Mesh,
     h_pad, w_pad = image.shape[0], image.shape[1]
     stripe = h_pad // n_dev
     halo = roi - stride
+    # Per-stripe row origins. h_pad is a stride multiple (n_dev equal
+    # stride-multiple stripes), so the single-chip grid's clamped flush
+    # origin h_pad - roi (tile_origins semantics) is OFF-grid: the last
+    # stripe replaces its last on-grid origin with the flush one so the
+    # global tile set matches sliding_window_inference EXACTLY — the
+    # bottom tiles must not hang `halo` fabricated zero rows past the
+    # canvas (real receptive fields would blend ghost context there).
     ys_local = np.arange(0, stripe, stride, dtype=np.int32)
+    ys_last = ys_local.copy()
+    ys_last[-1] = stripe - roi
     xs = np.arange(0, w_pad - roi + 1, stride, dtype=np.int32)
-    grid = np.stack(np.meshgrid(ys_local, xs, indexing="ij"), -1).reshape(-1, 2)
-    rem = (-len(grid)) % sw_batch
-    weights = np.ones(len(grid), np.float32)
-    if rem:
-        grid = np.concatenate([grid, np.repeat(grid[-1:], rem, 0)])
-        weights = np.concatenate([weights, np.zeros(rem, np.float32)])
-    grid_j = jnp.asarray(grid.reshape(-1, sw_batch, 2))
-    weights_j = jnp.asarray(weights.reshape(-1, sw_batch))
+
+    def mk_grid(ys):
+        grid = np.stack(np.meshgrid(ys, xs, indexing="ij"), -1).reshape(-1, 2)
+        rem = (-len(grid)) % sw_batch
+        weights = np.ones(len(grid), np.float32)
+        if rem:
+            grid = np.concatenate([grid, np.repeat(grid[-1:], rem, 0)])
+            weights = np.concatenate([weights, np.zeros(rem, np.float32)])
+        return (jnp.asarray(grid.reshape(-1, sw_batch, 2)),
+                jnp.asarray(weights.reshape(-1, sw_batch)))
+
+    grid_int_j, weights_j = mk_grid(ys_local)
+    grid_edge_j, _ = mk_grid(ys_last)
 
     n_tiles = (len(ys_local), len(xs))
     # GLOBAL coverage-count map (uniform grid, shard-dependent near the
@@ -135,7 +149,7 @@ def spatial_sliding_window(apply_fn, params, image, mesh: Mesh,
     # constant would bloat the HLO by h_pad*w_pad floats)
     cnt_rows = np.zeros(h_pad, np.float32)
     for d in range(n_dev):
-        for y in ys_local:
+        for y in (ys_last if d == n_dev - 1 else ys_local):
             cnt_rows[d * stripe + y: d * stripe + y + roi] += 1.0
     cnt_cols = np.zeros(w_pad, np.float32)
     for x in xs:
@@ -164,15 +178,33 @@ def spatial_sliding_window(apply_fn, params, image, mesh: Mesh,
             tiles = jax.vmap(gather_tile)(orgs)
             return None, apply_fn(params, tiles).astype(jnp.float32)
 
+        idx = jax.lax.axis_index(AXIS)
+        is_last = idx == n_dev - 1
+        grid_j = jnp.where(is_last, grid_edge_j, grid_int_j)
         # scan STACKS outputs — no read-modify-write accumulator, which
         # shard_map fails to keep in place (each update copied the canvas)
         _, stacked = jax.lax.scan(body, None, (grid_j, weights_j))
         tiles_out = stacked.reshape(-1, roi, roi, out_channels)
         tiles_out = tiles_out[: n_tiles[0] * n_tiles[1]]  # drop pad tiles
-        acc = _tiles_to_canvas(
-            tiles_out.reshape(*n_tiles, roi, roi, out_channels),
-            stride, roi, stripe + halo, w_pad,
-        )
+        tiles_grid = tiles_out.reshape(*n_tiles, roi, roi, out_channels)
+        if n_tiles[0] > 1:
+            # on-grid rows via the parity-reshape accumulator; the last
+            # row of tiles sits at a stripe-dependent origin (on-grid for
+            # interior stripes, flush stripe-roi for the last) → placed
+            # with one dynamic add
+            acc = _tiles_to_canvas(tiles_grid[:-1], stride, roi,
+                                   stripe + halo, w_pad)
+            strip = _tiles_to_canvas(tiles_grid[-1:], stride, roi,
+                                     roi, w_pad)
+            y_last = jnp.where(is_last, stripe - roi,
+                               (n_tiles[0] - 1) * stride)
+            seg = jax.lax.dynamic_slice(acc, (y_last, 0, 0),
+                                        (roi, w_pad, out_channels))
+            acc = jax.lax.dynamic_update_slice(acc, seg + strip,
+                                               (y_last, 0, 0))
+        else:
+            acc = _tiles_to_canvas(tiles_grid, stride, roi,
+                                   stripe + halo, w_pad)
 
         # ship the overflow rows to the next shard's top
         inc_acc = jax.lax.ppermute(acc[stripe:], AXIS, _perm(n_dev, up=True))

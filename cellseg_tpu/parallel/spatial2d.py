@@ -106,23 +106,40 @@ def spatial_sliding_window_2d(apply_fn, params, image, mesh: Mesh,
     h_pad, w_pad = image.shape[0], image.shape[1]
     stripe_y, stripe_x = h_pad // ny, w_pad // nx
     halo = roi - stride
+    # Per-block tile origins. Both canvas axes are stride multiples, so
+    # the single-chip grid's clamped flush origins (size - roi, see
+    # infer/sliding_window.tile_origins) are OFF-grid: mesh-edge blocks
+    # replace their last on-grid origin with the flush one so the global
+    # tile set matches sliding_window_inference EXACTLY — edge tiles must
+    # not hang `halo` fabricated zero rows/cols past the canvas (real
+    # receptive fields would blend ghost context there).
     ys = np.arange(0, stripe_y, stride, dtype=np.int32)
     xs = np.arange(0, stripe_x, stride, dtype=np.int32)
-    grid = np.stack(np.meshgrid(ys, xs, indexing="ij"), -1).reshape(-1, 2)
-    rem = (-len(grid)) % sw_batch
-    if rem:
-        grid = np.concatenate([grid, np.repeat(grid[-1:], rem, 0)])
-    grid_j = jnp.asarray(grid.reshape(-1, sw_batch, 2))
+    ys_edge = ys.copy()
+    ys_edge[-1] = stripe_y - roi
+    xs_edge = xs.copy()
+    xs_edge[-1] = stripe_x - roi
     n_tiles = (len(ys), len(xs))
 
-    # separable global coverage counts (same tile grid on every block)
+    def mk_grid(yy, xx):
+        grid = np.stack(np.meshgrid(yy, xx, indexing="ij"), -1).reshape(-1, 2)
+        rem = (-len(grid)) % sw_batch
+        if rem:
+            grid = np.concatenate([grid, np.repeat(grid[-1:], rem, 0)])
+        return jnp.asarray(grid.reshape(-1, sw_batch, 2))
+
+    grids_j = {(ey, ex): mk_grid(ys_edge if ey else ys,
+                                 xs_edge if ex else xs)
+               for ey in (0, 1) for ex in (0, 1)}
+
+    # separable global coverage counts (edge blocks use the flush grids)
     cnt_rows = np.zeros(h_pad, np.float32)
     for d in range(ny):
-        for y in ys:
+        for y in (ys_edge if d == ny - 1 else ys):
             cnt_rows[d * stripe_y + y: d * stripe_y + y + roi] += 1.0
     cnt_cols = np.zeros(w_pad, np.float32)
     for d in range(nx):
-        for x in xs:
+        for x in (xs_edge if d == nx - 1 else xs):
             cnt_cols[d * stripe_x + x: d * stripe_x + x + roi] += 1.0
     cnt_rows_j = jnp.asarray(cnt_rows.reshape(ny, stripe_y))
     cnt_cols_j = jnp.asarray(cnt_cols.reshape(nx, stripe_x))
@@ -149,12 +166,43 @@ def spatial_sliding_window_2d(apply_fn, params, image, mesh: Mesh,
             tiles = jax.vmap(gather_tile)(orgs)
             return None, apply_fn(params, tiles).astype(jnp.float32)
 
+        iy = jax.lax.axis_index(AXY)
+        ix = jax.lax.axis_index(AXX)
+        is_ly, is_lx = iy == ny - 1, ix == nx - 1
+        grid_j = jnp.where(
+            is_ly,
+            jnp.where(is_lx, grids_j[(1, 1)], grids_j[(1, 0)]),
+            jnp.where(is_lx, grids_j[(0, 1)], grids_j[(0, 0)]))
         _, stacked = jax.lax.scan(body, None, grid_j)
         tiles_out = stacked.reshape(-1, roi, roi, out_channels)
         tiles_out = tiles_out[: n_tiles[0] * n_tiles[1]]
-        acc = _tiles_to_canvas(
-            tiles_out.reshape(*n_tiles, roi, roi, out_channels),
-            stride, roi, stripe_y + halo, stripe_x + halo)
+        tg = tiles_out.reshape(*n_tiles, roi, roi, out_channels)
+        ty, tx = n_tiles
+        hy_out, wx_out = stripe_y + halo, stripe_x + halo
+        # the last row/col of tiles sit at block-dependent origins
+        # (on-grid interior, flush at the mesh edge) → dynamic adds
+        y_last = jnp.where(is_ly, stripe_y - roi, (ty - 1) * stride)
+        x_last = jnp.where(is_lx, stripe_x - roi, (tx - 1) * stride)
+
+        def dyn_add(canvas, patch, oy, ox):
+            shp = (patch.shape[0], patch.shape[1], out_channels)
+            seg = jax.lax.dynamic_slice(canvas, (oy, ox, 0), shp)
+            return jax.lax.dynamic_update_slice(canvas, seg + patch,
+                                                (oy, ox, 0))
+
+        acc = jnp.zeros((hy_out, wx_out, out_channels), jnp.float32)
+        if ty > 1 and tx > 1:
+            acc = acc + _tiles_to_canvas(tg[:-1, :-1], stride, roi,
+                                         hy_out, wx_out)
+        if tx > 1:
+            strip = _tiles_to_canvas(tg[-1:, :-1], stride, roi,
+                                     roi, wx_out)
+            acc = dyn_add(acc, strip, y_last, 0)
+        if ty > 1:
+            strip = _tiles_to_canvas(tg[:-1, -1:], stride, roi,
+                                     hy_out, roi)
+            acc = dyn_add(acc, strip, 0, x_last)
+        acc = dyn_add(acc, tg[-1, -1], y_last, x_last)
 
         # ship overflow right, then down (corner rides both hops)
         inc_c = _ship_cols(acc, halo, ny, nx, right=True, fill=0.0)

@@ -99,9 +99,14 @@ def spatial_watershed(image, markers, mask, mesh: Mesh,
                 new_cost = jnp.where(better, cand, new_cost)
                 new_hops = jnp.where(better, cand_h, new_hops)
                 new_label = jnp.where(better, nl, new_label)
+            # the cost plane must be part of the convergence check (same
+            # argument as ops/watershed.py): a cost-only relaxation this
+            # sweep can flip a neighbor's label in the NEXT sweep
             changed = jax.lax.pmax(
-                jnp.any(jnp.logical_or(new_label != label,
-                                       new_hops != hops)), AXIS)
+                jnp.any(jnp.logical_or(
+                    new_label != label,
+                    jnp.logical_or(new_hops != hops,
+                                   new_cost != cost))), AXIS)
             return new_cost, new_hops, new_label, changed, it + 1
 
         _, _, label, _, _ = jax.lax.while_loop(

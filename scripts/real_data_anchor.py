@@ -99,9 +99,10 @@ def stage_patch_holdout(out: str) -> tuple[str, str]:
         for q, (y, x) in quads.items():
             sl = (slice(y, y + hh), slice(x, x + ww))
             sub_lbl = lbl[sl]
-            # compact instance ids after the cut
-            _, sub_lbl = np.unique(sub_lbl, return_inverse=True)
-            sub_lbl = sub_lbl.reshape(lbl[sl].shape).astype(np.int32)
+            # compact instance ids after the cut; anchor 0 so a quadrant
+            # with no background pixels can't remap a real instance to 0
+            uniq = np.unique(np.concatenate(([0], sub_lbl.ravel())))
+            sub_lbl = np.searchsorted(uniq, sub_lbl).astype(np.int32)
             dst = "test" if q == HOLDOUT_QUAD[stem] else "train"
             imwrite(os.path.join(root, dst, "images",
                                  f"{stem}_{q}.{ext}"), img[sl])

@@ -102,3 +102,25 @@ def test_split_oversized_3d():
     merged_ids = set(np.unique(out[lbl == 1])) - {0}
     assert len(merged_ids) == 2
     assert len(set(np.unique(out)) - {0}) == 3
+
+
+def test_watershed3d_plateau_keeps_both_seeds():
+    """Flat-plateau tie: both markers must survive and split the plateau
+    by arrival order (path length), not be absorbed into the smaller id —
+    the 2D device watershed's first-arrival semantics (ops/watershed.py)."""
+    from cellseg_tpu.decode.distance3d import watershed3d_host
+
+    z, h, w = 3, 9, 21
+    image = np.zeros((z, h, w), np.float32)  # one flat plateau
+    mask = np.ones((z, h, w), bool)
+    markers = np.zeros((z, h, w), np.int64)
+    markers[1, 4, 3] = 1
+    markers[1, 4, 17] = 2
+
+    out = watershed3d_host(image, markers, mask)
+    # both instances present, seeds keep their ids
+    assert out[1, 4, 3] == 1 and out[1, 4, 17] == 2
+    # plateau splits geodesically: near each seed its own label wins
+    assert out[1, 4, 5] == 1 and out[1, 4, 15] == 2
+    # the midline (equidistant) goes to the smaller id only there
+    assert set(np.unique(out)) == {1, 2}

@@ -145,3 +145,37 @@ def test_spatial_predictor_device_normalization_parity(mesh):
                            normalize=False).predict(host_norm)
     np.testing.assert_array_equal(dev, ref)
     assert dev.max() >= 1
+
+
+def test_spatial_forward_receptive_field_parity(mesh):
+    """Bottom-stripe tiles must use the single-chip flush origin, not hang
+    `halo` fabricated zero rows past the canvas: with a 3x3 mean-filter
+    model (real receptive field) the sharded forward must equal
+    sliding_window_inference exactly (same tile set)."""
+    def conv_apply(params, tiles):
+        k = jnp.ones((3, 3, 1, 1), jnp.float32) / 9.0
+        outs = [jax.lax.conv_general_dilated(
+            tiles[..., c:c + 1], k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            for c in range(tiles.shape[-1])]
+        return jnp.concatenate(outs, axis=-1)
+
+    rng = np.random.default_rng(11)
+    roi, overlap = 64, 0.25
+    stride = int(roi * (1 - overlap))
+    n_dev = 4
+    h, w = 330, 140
+    h_pad, w_pad, _ = pad_for_mesh(h, w, n_dev, roi, stride)
+    # fill the WHOLE padded canvas: content at the canvas edge is what
+    # distinguishes the flush bottom tiles from ghost-overhanging ones
+    img = rng.random((h_pad, w_pad, 3)).astype(np.float32)
+
+    sharding = NamedSharding(mesh, P(AXIS, None, None))
+    dimg = jax.device_put(jnp.asarray(img), sharding)
+    got = np.asarray(spatial_sliding_window(
+        conv_apply, None, dimg, mesh, roi=roi, sw_batch=4,
+        overlap=overlap, out_channels=3))
+    want = np.asarray(sliding_window_inference(
+        conv_apply, None, jnp.asarray(img), roi=roi, sw_batch=4,
+        overlap=overlap, out_channels=3))
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -130,3 +130,38 @@ def test_predictor2d_end_to_end(mesh):
     assert labels.max() == 5  # each disk one instance
     # instances must be exactly the bright disks
     assert np.array_equal(labels > 0, img > 0)
+
+
+def conv_apply(params, tiles):
+    """3x3 mean filter per channel: a REAL receptive field, so tile-window
+    membership changes the output near tile borders — exercises the
+    flush-origin edge tiles (parity requires the exact single-chip grid)."""
+    k = jnp.ones((3, 3, 1, 1), jnp.float32) / 9.0
+    outs = [jax.lax.conv_general_dilated(
+        tiles[..., c:c + 1], k, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        for c in range(tiles.shape[-1])]
+    return jnp.concatenate(outs, axis=-1)
+
+
+def test_forward_matches_single_with_receptive_field(mesh):
+    """Edge tiles must use the single-chip flush origins, not hang past
+    the canvas into zero ghosts (exact tile-set parity)."""
+    rng = np.random.default_rng(7)
+    roi, overlap = 64, 0.25
+    stride = int(roi * (1 - overlap))
+    h, w = 180, 420
+    h_pad, w_pad, _, _ = pad_for_mesh2d(h, w, 2, 4, roi, stride)
+    # fill the WHOLE padded canvas: content at the canvas edge is what
+    # distinguishes flush edge tiles from ghost-overhanging ones
+    img = rng.random((h_pad, w_pad, 3)).astype(np.float32)
+
+    sharding = NamedSharding(mesh, P(AXY, AXX, None))
+    dimg = jax.device_put(jnp.asarray(img), sharding)
+    got = np.asarray(spatial_sliding_window_2d(
+        conv_apply, None, dimg, mesh, roi=roi, sw_batch=4,
+        overlap=overlap, out_channels=3))
+    want = np.asarray(sliding_window_inference(
+        conv_apply, None, jnp.asarray(img), roi=roi, sw_batch=4,
+        overlap=overlap, out_channels=3))
+    np.testing.assert_allclose(got, want, atol=1e-5)
