@@ -184,33 +184,31 @@ def ctc_metrics_sequence(data_root: str, res_dir: str, subset: str = "01",
         return (np.asarray(imread(res_path)).astype(np.int64)
                 if res_path else np.zeros_like(gt))
 
+    seg_files = [(int(fr), os.path.join(seg_dir, f))
+                 for f in sorted(os.listdir(seg_dir))
+                 if f.startswith("man_seg")
+                 and (fr := _frame_number(f)) is not None]
+
     all_scores: list[float] = []
     frames = []
-    for f in sorted(os.listdir(seg_dir)):
-        if not f.startswith("man_seg"):
-            continue
-        fr = _frame_number(f)
-        if fr is None:
-            continue
-        gt = np.asarray(imread(os.path.join(seg_dir, f))).astype(np.int64)
-        scores = seg_object_scores(gt, _pred_for(int(fr), gt))
+    for fr, path in seg_files:
+        gt = np.asarray(imread(path)).astype(np.int64)
+        scores = seg_object_scores(gt, _pred_for(fr, gt))
         all_scores.extend(scores)
-        frames.append({"frame": int(fr), "n_gt": len(scores),
+        frames.append({"frame": fr, "n_gt": len(scores),
                        "seg": float(np.mean(scores)) if scores else 0.0})
 
     # DET annotation source: TRA markers when available (official
     # DETMeasure semantics), else the SEG frames as an approximation.
     tra_dir = os.path.join(gt_root, "TRA")
     det_source = "SEG"
-    det_gt_files = [(int(_frame_number(f)), os.path.join(seg_dir, f))
-                    for f in sorted(os.listdir(seg_dir))
-                    if f.startswith("man_seg") and _frame_number(f)]
+    det_gt_files = seg_files
     if os.path.isdir(tra_dir):
-        tra_files = [(int(_frame_number(f)), os.path.join(tra_dir, f))
+        tra_files = [(int(fr), os.path.join(tra_dir, f))
                      for f in sorted(os.listdir(tra_dir))
                      if f.startswith("man_track")
                      and f.split(".")[-1] in ("tif", "tiff")
-                     and _frame_number(f)]
+                     and (fr := _frame_number(f)) is not None]
         if tra_files:
             det_gt_files, det_source = tra_files, "TRA"
 

@@ -309,11 +309,23 @@ def component_areas_by_sort(roots_flat: jax.Array,
     original index restores pixel order. Background (root == INF) forms
     one segment that callers mask out.
     """
+    si, area_sorted = _segment_areas_sorted(roots_flat)
+    _, area_px = jax.lax.sort((si, area_sorted), num_keys=1, is_stable=False)
+    return jnp.where(mask_flat, area_px, 0)
+
+
+def _segment_areas_sorted(roots_flat: jax.Array):
+    """Sort pixels by root id and compute per-pixel segment lengths in
+    SORTED order. Returns (original-index payload, sorted areas); callers
+    unsort with their own (thin) payload.
+
+    Unstable sorts throughout: segment membership and the index payload
+    are all the downstream math uses, and dropping the stability
+    bookkeeping on these massively-duplicated keys measures ~7 ms faster
+    per call at 4.2 MP.
+    """
     n = roots_flat.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    # unstable sorts: segment membership and the index payload are all the
-    # downstream math uses, and dropping the stability bookkeeping on these
-    # massively-duplicated keys measures ~7 ms faster per call at 4.2 MP
     sr, si = jax.lax.sort((roots_flat, idx), num_keys=1, is_stable=False)
     is_start = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), sr[1:] != sr[:-1]])
@@ -321,9 +333,7 @@ def component_areas_by_sort(roots_flat: jax.Array,
         [sr[1:] != sr[:-1], jnp.ones((1,), jnp.bool_)])
     start_pos = jax.lax.cummax(jnp.where(is_start, idx, -1))
     end_pos = -jax.lax.cummax(jnp.where(is_end, -idx, -(n + 1))[::-1])[::-1]
-    area_sorted = end_pos - start_pos + 1
-    _, area_px = jax.lax.sort((si, area_sorted), num_keys=1, is_stable=False)
-    return jnp.where(mask_flat, area_px, 0)
+    return si, end_pos - start_pos + 1
 
 
 def small_component_mask_by_sort(roots_flat: jax.Array,
@@ -343,16 +353,8 @@ def small_component_mask_by_sort(roots_flat: jax.Array,
     8 of 11, and every fallback round pays a full certificate sort.
     Full convergence + this lighter unsort is the winning shape.
     """
-    n = roots_flat.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    sr, si = jax.lax.sort((roots_flat, idx), num_keys=1, is_stable=False)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), sr[1:] != sr[:-1]])
-    is_end = jnp.concatenate(
-        [sr[1:] != sr[:-1], jnp.ones((1,), jnp.bool_)])
-    start_pos = jax.lax.cummax(jnp.where(is_start, idx, -1))
-    end_pos = -jax.lax.cummax(jnp.where(is_end, -idx, -(n + 1))[::-1])[::-1]
-    small = (end_pos - start_pos + 1) < threshold
+    si, area_sorted = _segment_areas_sorted(roots_flat)
+    small = area_sorted < threshold
     _, small_px = jax.lax.sort(
         (si, small.astype(jnp.int8)), num_keys=1, is_stable=False)
     return jnp.logical_and(mask_flat, small_px.astype(jnp.bool_))

@@ -221,26 +221,23 @@ def spatial_sliding_window(apply_fn, params, image, mesh: Mesh,
     return fn(params, image, cnt_rows_j)
 
 
-def _filter_local(mask_ext: jax.Array, threshold: int, connectivity: int,
-                  halo: int, stripe: int):
-    """Area-filter decisions for the owned rows of an extended stripe.
+def _keep_large_or_edge(mask_ext: jax.Array, threshold: int,
+                        connectivity: int, edge: jax.Array) -> jax.Array:
+    """Keep-mask over an extended block: component area ≥ threshold OR the
+    component touches the caller's edge ring (provably correct for owned
+    pixels when halo ≥ threshold — an edge-touching component extends
+    beyond the ext, so its true area is unknown but ≥ halo).
 
-    Components touching the ext edge are treated as area ≥ threshold
-    (provably correct for owned-row pixels when halo ≥ threshold).
-    Returns keep-mask for the owned rows [halo, halo+stripe).
     Gather/scatter-free: areas come from sort-based segmented run lengths;
-    ext-edge pixels carry a +BIG area bonus that any segment containing
-    them inherits through the run-length trick.
+    the per-component edge flag is a segment-OR computed with a prefix +
+    suffix cummax pass over the same sorted order.
     """
     from ..ops.cc import _root_labels, component_areas_by_sort
 
-    he, w = mask_ext.shape
+    shape = mask_ext.shape
     roots = _root_labels(mask_ext, connectivity).ravel()
     flat_mask = mask_ext.ravel()
     areas = component_areas_by_sort(roots, flat_mask)
-    # per-component edge flag via a second sorted pass: a component is
-    # edge-touching iff any of its pixels lies in ext row 0 or he-1
-    edge = jnp.zeros((he, w), jnp.bool_).at[0, :].set(True).at[-1, :].set(True)
     edge_flat = jnp.logical_and(edge.ravel(), flat_mask)
     n = roots.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -262,7 +259,17 @@ def _filter_local(mask_ext: jax.Array, threshold: int, connectivity: int,
     _, edge_px = jax.lax.sort(
         (si, seg_edge.astype(jnp.int32)), num_keys=1, is_stable=False)
     big = jnp.logical_or(areas >= threshold, edge_px > 0)
-    keep = jnp.logical_and(flat_mask, big).reshape(he, w)
+    return jnp.logical_and(flat_mask, big).reshape(shape)
+
+
+def _filter_local(mask_ext: jax.Array, threshold: int, connectivity: int,
+                  halo: int, stripe: int):
+    """Area-filter decisions for the owned rows of an extended stripe:
+    components touching ext row 0 or he-1 count as large. Returns the
+    keep-mask for the owned rows [halo, halo+stripe)."""
+    he, w = mask_ext.shape
+    edge = jnp.zeros((he, w), jnp.bool_).at[0, :].set(True).at[-1, :].set(True)
+    keep = _keep_large_or_edge(mask_ext, threshold, connectivity, edge)
     return keep[halo:halo + stripe]
 
 

@@ -229,36 +229,13 @@ def _filter_local2d(mask_ext: jax.Array, threshold: int, connectivity: int,
     treated as area ≥ threshold (exact for owned pixels when halo ≥
     threshold; mesh-edge blocks have all-False ghosts so nothing touches
     their outer borders)."""
-    from ..ops.cc import _root_labels, component_areas_by_sort
+    from .spatial import _keep_large_or_edge
 
     he, we = mask_ext.shape
-    roots = _root_labels(mask_ext, connectivity).ravel()
-    flat_mask = mask_ext.ravel()
-    areas = component_areas_by_sort(roots, flat_mask)
     edge = jnp.zeros((he, we), jnp.bool_)
     edge = edge.at[0, :].set(True).at[-1, :].set(True)
     edge = edge.at[:, 0].set(True).at[:, -1].set(True)
-    edge_flat = jnp.logical_and(edge.ravel(), flat_mask)
-    n = roots.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    sr, se, si = jax.lax.sort(
-        (roots, edge_flat.astype(jnp.int32), idx), num_keys=1,
-        is_stable=False)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), sr[1:] != sr[:-1]])
-    is_end = jnp.concatenate([sr[1:] != sr[:-1], jnp.ones((1,), jnp.bool_)])
-    start_pos = jax.lax.cummax(jnp.where(is_start, idx, -1))
-    last_edge = jax.lax.cummax(jnp.where(se > 0, idx, -1))
-    fwd_or = last_edge >= start_pos
-    end_pos = -jax.lax.cummax(jnp.where(is_end, -idx, -(n + 1))[::-1])[::-1]
-    first_edge = -jax.lax.cummax(
-        jnp.where(se > 0, -idx, -(n + 1))[::-1])[::-1]
-    bwd_or = first_edge <= end_pos
-    seg_edge = jnp.logical_or(fwd_or, bwd_or)
-    _, edge_px = jax.lax.sort((si, seg_edge.astype(jnp.int32)), num_keys=1,
-                              is_stable=False)
-    big = jnp.logical_or(areas >= threshold, edge_px > 0)
-    keep = jnp.logical_and(flat_mask, big).reshape(he, we)
+    keep = _keep_large_or_edge(mask_ext, threshold, connectivity, edge)
     return keep[hy:hy + stripe_y, hx:hx + stripe_x]
 
 
