@@ -41,6 +41,20 @@ def main(argv=None):
                         help="override the stats-derived neighbor search "
                              "radius (reference: mean+std diameter)")
     parser.add_argument("--batch_size", default=8, type=int)
+    parser.add_argument("--act_fun", default="relu",
+                        choices=["relu", "leakyrelu", "elu", "gelu", "mish",
+                                 "prelu"],
+                        help="activation (reference train.py --act_fun)")
+    parser.add_argument("--norm_method", default="gn",
+                        choices=["gn", "in", "ln", "none", "bn"],
+                        help="normalization (reference --norm_method); "
+                             "'bn' maps to group norm — batch statistics "
+                             "do not shard over a data-parallel TPU mesh, "
+                             "and group norm is the standard equivalent")
+    parser.add_argument("--filters", nargs=2, type=int, default=[64, 1024],
+                        metavar=("FIRST", "MAX"),
+                        help="encoder filter ladder: FIRST doubling up to "
+                             "MAX (reference --filters)")
     parser.add_argument("--loss", default="smooth_l1",
                         choices=["smooth_l1", "l1", "mse"])
     parser.add_argument("--optimizer", default="adam",
@@ -84,11 +98,25 @@ def main(argv=None):
             print("trainset:", info)
         data = trainset
 
+    norm = {"gn": "group", "in": "instance", "ln": "layer",
+            "none": "none", "bn": "group"}[args.norm_method]
+    if args.norm_method == "bn":
+        print("note: --norm_method bn maps to group norm on TPU "
+              "(batch statistics do not shard over the mesh)")
+    f0, fmax = args.filters
+    channels = [f0]
+    while channels[-1] < fmax:
+        channels.append(channels[-1] * 2)
+    channels[-1] = min(channels[-1], fmax)
+
     for it in range(args.iterations):
         cfg = DistanceTrainConfig(
             data_path=data,
             work_dir=args.work_dir if args.iterations == 1
             else os.path.join(args.work_dir, f"run{it}"),
+            channels=tuple(channels),
+            act=args.act_fun,
+            norm=norm,
             loss=args.loss,
             optimizer=args.optimizer,
             batch_size=args.batch_size,

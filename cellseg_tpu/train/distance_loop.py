@@ -36,6 +36,8 @@ class DistanceTrainConfig:
     work_dir: str = "./work_dir"
     model_name: str = "dunet"
     channels: tuple = (64, 128, 256, 512, 1024)
+    act: str = "relu"     # relu | leakyrelu | elu | gelu | mish | prelu
+    norm: str = "group"   # group (gn) | instance (in) | layer | none
     loss: str = "smooth_l1"
     optimizer: str = "adam"  # adam | ranger
     batch_size: int = 8
@@ -96,7 +98,8 @@ def train_distance(cfg: DistanceTrainConfig) -> dict:
           f"max {max_epochs} epochs")
 
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-    model = build_model(cfg.model_name, dtype=dtype, channels=cfg.channels)
+    model = build_model(cfg.model_name, dtype=dtype, channels=cfg.channels,
+                        act=cfg.act, norm=cfg.norm)
     # infer crop size from the data
     sample = train_ds.items[0][0]
     crop = sample.shape[0]
@@ -137,7 +140,7 @@ def train_distance(cfg: DistanceTrainConfig) -> dict:
         pre_params, _ = train_auto(
             imgs, channels=tuple(cfg.channels), crop=min(crop, 320),
             batch_size=cfg.batch_size, epochs=cfg.pretrain_epochs,
-            seed=cfg.seed, dtype=dtype)
+            seed=cfg.seed, dtype=dtype, act=cfg.act, norm=cfg.norm)
         params = transfer_encoder(pre_params, params)
         print("encoder pretrained and transferred")
 
@@ -179,7 +182,8 @@ def train_distance(cfg: DistanceTrainConfig) -> dict:
 
     save_sidecar(model_dir, {
         "model_name": cfg.model_name,
-        "architecture": {"channels": list(cfg.channels)},
+        "architecture": {"channels": list(cfg.channels),
+                         "act": cfg.act, "norm": cfg.norm},
         "num_class": 1,
         "input_size": crop,
         "in_channels": 1,

@@ -70,3 +70,16 @@ def test_unet_gradients_flow(small_unet):
     norms = [float(jnp.abs(x).max()) for x in jax.tree.leaves(g)]
     assert max(norms) > 0
     assert all(np.isfinite(n) for n in norms)
+
+
+def test_dunet_arch_knobs():
+    """Reference build_unet knobs (act_fun/norm/filters ladder,
+    unets.py:8-56): the factory accepts them and forward shapes hold."""
+    from cellseg_tpu.models import build_model
+
+    m = build_model("dunet", channels=(8, 16, 32), act="mish",
+                    norm="instance")
+    x = jnp.zeros((1, 32, 32, 1))
+    p = m.init(jax.random.PRNGKey(0), x)
+    border, cell = m.apply(p, x)
+    assert border.shape == (1, 32, 32, 1) and cell.shape == (1, 32, 32, 1)
