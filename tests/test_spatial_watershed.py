@@ -67,3 +67,33 @@ def test_spatial_decode_distance_matches_single(mesh):
     # pixel-level agreement must be near-exact (plateau ties only)
     agree = (got == want).mean()
     assert agree > 0.999, agree
+
+
+def test_spatial_watershed_quantized_fuzz(mesh):
+    """Plateau-heavy quantized terrain with many cross-stripe basins:
+    exercises the convergence check's cost plane (a cost-only relaxation
+    in one sweep can flip a label only in the NEXT sweep — exiting early
+    breaks bit-parity with the single-device flood)."""
+    rng = np.random.default_rng(42)
+    h, w = 256, 96
+    # coarse smooth field quantized to 4 levels → large flat plateaus
+    base = rng.random((8, 3))
+    field = np.kron(base, np.ones((32, 32)))
+    cell = np.round(field * 4.0) / 4.0
+    mask = np.ones((h, w), bool)
+    markers = np.zeros((h, w), np.int32)
+    pts = rng.choice(h * w, size=24, replace=False)
+    for i, p in enumerate(pts, start=1):
+        markers[p // w, p % w] = i
+
+    sh = NamedSharding(mesh, P(AXIS, None))
+    got = np.asarray(spatial_watershed(
+        jax.device_put(jnp.asarray(-cell), sh),
+        jax.device_put(jnp.asarray(markers), sh),
+        jax.device_put(jnp.asarray(mask), sh),
+        mesh,
+    ))
+    want = np.asarray(watershed_jax(jnp.asarray(-cell), jnp.asarray(markers),
+                                    jnp.asarray(mask)))
+    assert np.array_equal(got, want)
+    assert set(np.unique(got)) == set(range(1, 25))
