@@ -51,6 +51,11 @@ def main(argv=None):
                              "'bn' maps to group norm — batch statistics "
                              "do not shard over a data-parallel TPU mesh, "
                              "and group norm is the standard equivalent")
+    parser.add_argument("--pool_method", default="conv",
+                        choices=["conv", "max"],
+                        help="downsampling: strided convs ('conv', the "
+                             "reference default) or max pooling + stride-1 "
+                             "convs ('max')")
     parser.add_argument("--filters", nargs=2, type=int, default=[64, 1024],
                         metavar=("FIRST", "MAX"),
                         help="encoder filter ladder: FIRST doubling up to "
@@ -117,6 +122,7 @@ def main(argv=None):
             channels=tuple(channels),
             act=args.act_fun,
             norm=norm,
+            pool=args.pool_method,
             loss=args.loss,
             optimizer=args.optimizer,
             batch_size=args.batch_size,

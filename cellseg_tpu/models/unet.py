@@ -29,15 +29,24 @@ class UNetEncoder(nn.Module):
     num_res_units: int = 2
     norm: str = "instance"
     act: str = "prelu"
+    # "conv": strided convolutions downsample (reference pool_method
+    # 'conv'); "max": max-pool then stride-1 convs (pool_method 'max',
+    # unets.py:154-204). Same parameter shapes either way (the residual
+    # 1x1 projection is stride-independent), so checkpoints transfer.
+    pool: str = "conv"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         skips = []
         for i, feats in enumerate(self.channels[:-1]):
+            stride = self.strides[i] if i < len(self.strides) else 1
+            if self.pool == "max" and stride > 1:
+                x = nn.max_pool(x, (stride, stride), (stride, stride))
+                stride = 1
             x = ResidualUnit(
                 features=feats,
-                strides=self.strides[i] if i < len(self.strides) else 1,
+                strides=stride,
                 subunits=self.num_res_units,
                 norm=self.norm,
                 act=self.act,
@@ -147,6 +156,7 @@ class DUNet(nn.Module):
     num_res_units: int = 2
     norm: str = "group"
     act: str = "relu"
+    pool: str = "conv"  # conv (strided) | max (reference pool_method)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -158,6 +168,7 @@ class DUNet(nn.Module):
             num_res_units=self.num_res_units,
             norm=self.norm,
             act=self.act,
+            pool=self.pool,
             dtype=self.dtype,
         )(x)
         border = UNetDecoder(
@@ -183,6 +194,7 @@ class AutoUNet(nn.Module):
     num_res_units: int = 2
     norm: str = "group"
     act: str = "relu"
+    pool: str = "conv"
     out_channels: int = 1
     dtype: Dtype = jnp.float32
 
@@ -195,6 +207,7 @@ class AutoUNet(nn.Module):
             num_res_units=self.num_res_units,
             norm=self.norm,
             act=self.act,
+            pool=self.pool,
             dtype=self.dtype,
         )(x)
         y = bottom

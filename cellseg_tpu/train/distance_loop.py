@@ -38,6 +38,7 @@ class DistanceTrainConfig:
     channels: tuple = (64, 128, 256, 512, 1024)
     act: str = "relu"     # relu | leakyrelu | elu | gelu | mish | prelu
     norm: str = "group"   # group (gn) | instance (in) | layer | none
+    pool: str = "conv"    # conv (strided) | max (reference pool_method)
     loss: str = "smooth_l1"
     optimizer: str = "adam"  # adam | ranger
     batch_size: int = 8
@@ -99,7 +100,7 @@ def train_distance(cfg: DistanceTrainConfig) -> dict:
 
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     model = build_model(cfg.model_name, dtype=dtype, channels=cfg.channels,
-                        act=cfg.act, norm=cfg.norm)
+                        act=cfg.act, norm=cfg.norm, pool=cfg.pool)
     # infer crop size from the data
     sample = train_ds.items[0][0]
     crop = sample.shape[0]
@@ -140,7 +141,8 @@ def train_distance(cfg: DistanceTrainConfig) -> dict:
         pre_params, _ = train_auto(
             imgs, channels=tuple(cfg.channels), crop=min(crop, 320),
             batch_size=cfg.batch_size, epochs=cfg.pretrain_epochs,
-            seed=cfg.seed, dtype=dtype, act=cfg.act, norm=cfg.norm)
+            seed=cfg.seed, dtype=dtype, act=cfg.act, norm=cfg.norm,
+            pool=cfg.pool)
         params = transfer_encoder(pre_params, params)
         print("encoder pretrained and transferred")
 
@@ -182,8 +184,8 @@ def train_distance(cfg: DistanceTrainConfig) -> dict:
 
     save_sidecar(model_dir, {
         "model_name": cfg.model_name,
-        "architecture": {"channels": list(cfg.channels),
-                         "act": cfg.act, "norm": cfg.norm},
+        "architecture": {"channels": list(cfg.channels), "act": cfg.act,
+                         "norm": cfg.norm, "pool": cfg.pool},
         "num_class": 1,
         "input_size": crop,
         "in_channels": 1,

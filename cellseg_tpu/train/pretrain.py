@@ -98,14 +98,16 @@ def _draw_plane(im: np.ndarray, rs: np.random.RandomState) -> np.ndarray:
 def train_auto(images: list[np.ndarray], channels=(64, 128, 256, 512, 1024),
                crop: int = 320, batch_size: int = 8, epochs: int = 60,
                learning_rate: float = 8e-4, seed: int = 2022,
-               dtype=jnp.float32, act: str = "relu", norm: str = "group"):
+               dtype=jnp.float32, act: str = "relu", norm: str = "group",
+               pool: str = "conv"):
     """Pretrain AutoUNet on reconstruction; returns its params.
 
     images: list of (H, W) — or (Z, H, W), see _draw_plane — float arrays
     already scaled to [-1, 1]. act/norm must match the downstream model so
     the encoder subtree transfers (prelu carries learned parameters).
     """
-    model = AutoUNet(channels=channels, dtype=dtype, act=act, norm=norm)
+    model = AutoUNet(channels=channels, dtype=dtype, act=act, norm=norm,
+                     pool=pool)
     rng = jax.random.PRNGKey(seed)
     params = model.init(rng, jnp.zeros((1, crop, crop, 1), jnp.float32))
     tx = optax.adam(learning_rate)

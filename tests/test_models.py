@@ -79,7 +79,21 @@ def test_dunet_arch_knobs():
 
     m = build_model("dunet", channels=(8, 16, 32), act="mish",
                     norm="instance")
-    x = jnp.zeros((1, 32, 32, 1))
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 32, 1))
     p = m.init(jax.random.PRNGKey(0), x)
     border, cell = m.apply(p, x)
     assert border.shape == (1, 32, 32, 1) and cell.shape == (1, 32, 32, 1)
+
+    # pool_method 'max': same output shapes AND the same parameter tree
+    # (the residual 1x1 projection is stride-independent), so checkpoints
+    # and pretrained encoders transfer between pool variants
+    m2 = build_model("dunet", channels=(8, 16, 32), act="mish",
+                     norm="instance", pool="max")
+    p2 = m2.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree.structure(p) == jax.tree.structure(p2)
+            and all(a.shape == b.shape for a, b in
+                    zip(jax.tree.leaves(p), jax.tree.leaves(p2))))
+    border2, cell2 = m2.apply(p2, x)
+    assert border2.shape == (1, 32, 32, 1)
+    # and the two modes genuinely differ in computation
+    assert not np.allclose(np.asarray(border), np.asarray(border2))
