@@ -97,3 +97,73 @@ def test_spatial_watershed_quantized_fuzz(mesh):
                                     jnp.asarray(mask)))
     assert np.array_equal(got, want)
     assert set(np.unique(got)) == set(range(1, 25))
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    from cellseg_tpu.parallel.spatial2d import make_mesh2d
+
+    return make_mesh2d(2, 4)
+
+
+@pytest.mark.slow
+def test_spatial_watershed_2d_matches_single(mesh2d):
+    """2-D block-sharded minimax flood is bit-equal to the single-device
+    watershed (basins straddling BOTH the row and the column seams)."""
+    from jax.sharding import PartitionSpec
+    from cellseg_tpu.parallel.spatial2d import AXX, AXY
+    from cellseg_tpu.parallel.spatial_watershed import spatial_watershed_2d
+
+    h, w = 128, 256  # (2, 4) blocks of 64x64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    b1 = np.exp(-(((yy - 60) ** 2 + (xx - 60) ** 2) / 500))   # row+col seam
+    b2 = np.exp(-(((yy - 64) ** 2 + (xx - 190) ** 2) / 700))  # row seam
+    cell = np.maximum(b1, b2)
+    mask = cell > 0.1
+    markers = np.zeros((h, w), np.int32)
+    markers[60, 60] = 1
+    markers[64, 190] = 2
+
+    sh = NamedSharding(mesh2d, PartitionSpec(AXY, AXX))
+    got = np.asarray(spatial_watershed_2d(
+        jax.device_put(jnp.asarray(-cell), sh),
+        jax.device_put(jnp.asarray(markers), sh),
+        jax.device_put(jnp.asarray(mask), sh),
+        mesh2d,
+    ))
+    want = np.asarray(watershed_jax(jnp.asarray(-cell), jnp.asarray(markers),
+                                    jnp.asarray(mask)))
+    assert np.array_equal(got, want)
+    assert set(np.unique(got[mask])) == {1, 2}
+
+
+@pytest.mark.slow
+def test_spatial_decode_distance_2d_matches_single(mesh2d):
+    from jax.sharding import PartitionSpec
+    from cellseg_tpu.decode.distance import decode_distance
+    from cellseg_tpu.metrics import relabel_sequential, score_pair
+    from cellseg_tpu.parallel.spatial2d import AXX, AXY
+    from cellseg_tpu.parallel.spatial_watershed import (
+        spatial_decode_distance_2d,
+    )
+    from cellseg_tpu.pipeline.distance_labels import distance_label_2d
+
+    h, w = 128, 256
+    lbl = np.zeros((h, w), np.int32)
+    lbl[20:58, 20:60] = 1
+    lbl[50:100, 100:140] = 2   # straddles the row seam at 64
+    lbl[30:80, 150:210] = 3    # straddles a column seam at 192
+    cell_d, neigh_d = distance_label_2d(lbl, cell_radius=40,
+                                        neighbor_radius=60)
+
+    sh = NamedSharding(mesh2d, PartitionSpec(AXY, AXX))
+    got = spatial_decode_distance_2d(
+        jax.device_put(jnp.asarray(neigh_d), sh),
+        jax.device_put(jnp.asarray(cell_d), sh),
+        mesh2d,
+    )
+    want = relabel_sequential(decode_distance(neigh_d, cell_d))
+    s = score_pair(want, got, count_bd_cells=True)
+    assert s["f1"] == 1.0, s
+    agree = (got == want).mean()
+    assert agree > 0.999, agree
