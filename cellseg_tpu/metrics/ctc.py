@@ -213,11 +213,12 @@ def ctc_metrics_sequence(data_root: str, res_dir: str, subset: str = "01",
             det_gt_files, det_source = tra_files, "TRA"
 
     aogm_total, aogm0_total = 0.0, 0.0
-    for fr, path in det_gt_files:
-        gt = np.asarray(imread(path)).astype(np.int64)
-        aogm, aogm0 = det_frame_costs(gt, _pred_for(fr, gt))
-        aogm_total += aogm
-        aogm0_total += aogm0
+    if mode == "GT":  # DET is NaN for ST — skip the frame reads entirely
+        for fr, path in det_gt_files:
+            gt = np.asarray(imread(path)).astype(np.int64)
+            aogm, aogm0 = det_frame_costs(gt, _pred_for(fr, gt))
+            aogm_total += aogm
+            aogm0_total += aogm0
 
     seg = float(np.mean(all_scores)) if all_scores else 0.0
     if mode != "GT":

@@ -40,8 +40,16 @@ MODEL_DEFAULTS: dict[str, dict[str, Any]] = {
 
 def build_model(name: str, num_class: int = 3, input_size: int = 256,
                 dtype=jnp.float32, **overrides):
-    """Instantiate a model by reference-compatible name."""
+    """Instantiate a model by reference-compatible name.
+
+    A `channels` override without a matching `strides` derives one
+    downsample per level (reference --filters ladders can be deeper than
+    the 5-level default, e.g. 32→1024; a stale 4-entry strides tuple
+    would desynchronize encoder and decoder resolutions).
+    """
     name = name.lower()
+    if "channels" in overrides and "strides" not in overrides:
+        overrides["strides"] = (2,) * (len(overrides["channels"]) - 1)
     if name == "unet":
         cfg = {**MODEL_DEFAULTS["unet"], **overrides}
         return UNet(out_channels=num_class, dtype=dtype, **cfg)

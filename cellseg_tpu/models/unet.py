@@ -23,9 +23,25 @@ from .blocks import Activation, ResidualUnit, make_norm
 Dtype = Any
 
 
+def _strides_for(channels: Sequence[int],
+                 strides: Sequence[int] | None) -> Sequence[int]:
+    """One downsample per encoder level; an explicit strides tuple must
+    match the ladder depth (a shorter one would silently desynchronize
+    encoder and decoder resolutions — deep reference --filters ladders
+    like 32→1024 have more than the default 4 levels)."""
+    n = len(channels) - 1
+    if strides is None:
+        return (2,) * n
+    if len(strides) != n:
+        raise ValueError(
+            f"strides {tuple(strides)} must have {n} entries for "
+            f"channels {tuple(channels)}")
+    return strides
+
+
 class UNetEncoder(nn.Module):
     channels: Sequence[int] = (16, 32, 64, 128, 256)
-    strides: Sequence[int] = (2, 2, 2, 2)
+    strides: Sequence[int] | None = None
     num_res_units: int = 2
     norm: str = "instance"
     act: str = "prelu"
@@ -38,9 +54,10 @@ class UNetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        strides = _strides_for(self.channels, self.strides)
         skips = []
         for i, feats in enumerate(self.channels[:-1]):
-            stride = self.strides[i] if i < len(self.strides) else 1
+            stride = strides[i]
             if self.pool == "max" and stride > 1:
                 x = nn.max_pool(x, (stride, stride), (stride, stride))
                 stride = 1
@@ -75,7 +92,7 @@ class UNetDecoder(nn.Module):
     """
 
     channels: Sequence[int] = (16, 32, 64, 128, 256)
-    strides: Sequence[int] = (2, 2, 2, 2)
+    strides: Sequence[int] | None = None
     out_channels: int = 3
     num_res_units: int = 1
     norm: str = "instance"
@@ -84,12 +101,13 @@ class UNetDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, skips):
+        strides = _strides_for(self.channels, self.strides)
         n_levels = len(self.channels) - 1
         for i in reversed(range(n_levels)):
             x = jnp.concatenate([x, skips[i]], axis=-1)
             is_top = i == 0
             out_feats = self.out_channels if is_top else self.channels[i - 1]
-            stride = self.strides[i] if i < len(self.strides) else 2
+            stride = strides[i]
             x = nn.ConvTranspose(
                 out_feats, (3, 3), strides=(stride, stride), padding="SAME",
                 dtype=self.dtype,
@@ -115,7 +133,7 @@ class UNet(nn.Module):
 
     out_channels: int = 3
     channels: Sequence[int] = (16, 32, 64, 128, 256)
-    strides: Sequence[int] = (2, 2, 2, 2)
+    strides: Sequence[int] | None = None
     num_res_units: int = 2
     norm: str = "instance"
     act: str = "prelu"
@@ -134,6 +152,7 @@ class UNet(nn.Module):
         )(x)
         return UNetDecoder(
             channels=self.channels,
+            strides=self.strides,
             out_channels=self.out_channels,
             num_res_units=max(1, self.num_res_units - 1),
             norm=self.norm,
@@ -152,7 +171,7 @@ class DUNet(nn.Module):
     """
 
     channels: Sequence[int] = (64, 128, 256, 512, 1024)
-    strides: Sequence[int] = (2, 2, 2, 2)
+    strides: Sequence[int] | None = None
     num_res_units: int = 2
     norm: str = "group"
     act: str = "relu"
@@ -172,12 +191,14 @@ class DUNet(nn.Module):
             dtype=self.dtype,
         )(x)
         border = UNetDecoder(
-            channels=self.channels, out_channels=1, norm=self.norm,
-            act=self.act, dtype=self.dtype, name="border_decoder",
+            channels=self.channels, strides=self.strides, out_channels=1,
+            norm=self.norm, act=self.act, dtype=self.dtype,
+            name="border_decoder",
         )(bottom, skips)
         cell = UNetDecoder(
-            channels=self.channels, out_channels=1, norm=self.norm,
-            act=self.act, dtype=self.dtype, name="cell_decoder",
+            channels=self.channels, strides=self.strides, out_channels=1,
+            norm=self.norm, act=self.act, dtype=self.dtype,
+            name="cell_decoder",
         )(bottom, skips)
         return border, cell
 
@@ -190,7 +211,7 @@ class AutoUNet(nn.Module):
     """
 
     channels: Sequence[int] = (64, 128, 256, 512, 1024)
-    strides: Sequence[int] = (2, 2, 2, 2)
+    strides: Sequence[int] | None = None
     num_res_units: int = 2
     norm: str = "group"
     act: str = "relu"
@@ -211,10 +232,10 @@ class AutoUNet(nn.Module):
             dtype=self.dtype,
         )(x)
         y = bottom
+        strides = _strides_for(self.channels, self.strides)
         rev = list(self.channels[:-1])[::-1]
         for i, feats in enumerate(rev):
-            stride = self.strides[len(rev) - 1 - i] \
-                if len(self.strides) > i else 2
+            stride = strides[len(rev) - 1 - i]
             y = nn.ConvTranspose(
                 feats, (3, 3), strides=(stride, stride), padding="SAME",
                 dtype=self.dtype,
@@ -234,7 +255,7 @@ class FlowNet(nn.Module):
     """
 
     channels: Sequence[int] = (32, 64, 128, 256)
-    strides: Sequence[int] = (2, 2, 2)
+    strides: Sequence[int] | None = None
     num_res_units: int = 2
     norm: str = "group"
     act: str = "relu"
@@ -252,8 +273,8 @@ class FlowNet(nn.Module):
             dtype=self.dtype,
         )(x)
         out = UNetDecoder(
-            channels=self.channels, out_channels=3, norm=self.norm,
-            act=self.act, dtype=self.dtype,
+            channels=self.channels, strides=self.strides, out_channels=3,
+            norm=self.norm, act=self.act, dtype=self.dtype,
         )(bottom, skips)
         flow = out[..., :2]
         cellprob = out[..., 2:]

@@ -34,6 +34,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.cc import _INF, _segmented_min_scan, _sweep_min
+from .spatial import _perm
 
 AXY = "sy"  # row-block axis
 AXX = "sx"  # col-block axis
@@ -42,12 +43,6 @@ AXX = "sx"  # col-block axis
 def make_mesh2d(ny: int, nx: int) -> Mesh:
     devs = np.asarray(jax.devices()[: ny * nx]).reshape(ny, nx)
     return Mesh(devs, (AXY, AXX))
-
-
-def _perm(n: int, up: bool):
-    if up:
-        return [(i, i + 1) for i in range(n - 1)]
-    return [(i + 1, i) for i in range(n - 1)]
 
 
 def pad_for_mesh2d(h: int, w: int, ny: int, nx: int, roi: int, stride: int,

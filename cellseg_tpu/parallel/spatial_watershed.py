@@ -23,18 +23,8 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops.watershed import _BIG, _INF_HOPS, relax_once
 from .spatial import AXIS, _filter_local, _perm, spatial_label_components
-
-_BIG = 3.0e38
-_INF_HOPS = jnp.int32(2**31 - 1)
-_SHIFTS_8 = ((-1, 0), (1, 0), (0, -1), (0, 1),
-             (-1, -1), (-1, 1), (1, -1), (1, 1))
-
-
-def _shift2(arr, dy, dx, fill):
-    h, w = arr.shape
-    padded = jnp.pad(arr, 1, constant_values=fill)
-    return jax.lax.dynamic_slice(padded, (1 + dy, 1 + dx), (h, w))
 
 
 def spatial_watershed(image, markers, mask, mesh: Mesh,
@@ -58,47 +48,32 @@ def spatial_watershed(image, markers, mask, mesh: Mesh,
         hops = jnp.where(seeded, 0, _INF_HOPS)
         label = jnp.where(seeded, k_s.astype(jnp.int32), 0)
 
+        # 1-row ghosts from the stripe neighbors; labels MUST travel as
+        # int32 (global raster root ids exceed 2^24 above 16.7 MP — a
+        # float32 detour would alias nearby seeds on gigapixel canvases)
+        idx = jax.lax.axis_index(AXIS)
+
+        def with_ghosts(arr, fill):
+            top = jax.lax.ppermute(arr[-1:], AXIS, _perm(n_dev, True))
+            top = jnp.where(idx == 0, fill, top)
+            bot = jax.lax.ppermute(arr[:1], AXIS, _perm(n_dev, False))
+            bot = jnp.where(idx == n_dev - 1, fill, bot)
+            return jnp.concatenate([top, arr, bot], axis=0)
+
+        # elevation/mask ghosts are loop-invariant: ship them once
+        e_e = with_ghosts(e, _BIG)
+        m_e = with_ghosts(m_s, False)
+
         def cond(s):
             _, _, _, ch, it = s
             return jnp.logical_and(ch, it < max_iters)
 
         def body(s):
             cost, hops, label, _, it = s
-            # build 1-row ghosts from neighbors
-            idx = jax.lax.axis_index(AXIS)
-
-            def with_ghosts(arr, fill):
-                top = jax.lax.ppermute(arr[-1:], AXIS, _perm(n_dev, True))
-                top = jnp.where(idx == 0, fill, top)
-                bot = jax.lax.ppermute(arr[:1], AXIS, _perm(n_dev, False))
-                bot = jnp.where(idx == n_dev - 1, fill, bot)
-                return jnp.concatenate([top, arr, bot], axis=0)
-
-            cost_e = with_ghosts(cost, _BIG)
-            hops_e = with_ghosts(hops, _INF_HOPS)
-            label_e = with_ghosts(label.astype(jnp.float32), 0.0)
-            label_e = label_e.astype(jnp.int32)
-            new_cost, new_hops, new_label = cost, hops, label
-            for dy, dx in _SHIFTS_8:
-                nc = _shift2(cost_e, dy, dx, _BIG)[1:-1]
-                nh = _shift2(hops_e, dy, dx, _INF_HOPS)[1:-1]
-                nl = _shift2(label_e, dy, dx, 0)[1:-1]
-                cand = jnp.maximum(nc, e)
-                cand_h = jnp.where(nh == _INF_HOPS, _INF_HOPS, nh + 1)
-                cost_eq = cand == new_cost
-                better = jnp.logical_or(
-                    cand < new_cost,
-                    jnp.logical_and(cost_eq, jnp.logical_or(
-                        cand_h < new_hops,
-                        jnp.logical_and(
-                            cand_h == new_hops,
-                            jnp.logical_and(nl > 0, nl < new_label)))),
-                )
-                better = jnp.logical_and(better,
-                                         jnp.logical_and(m_s, nl > 0))
-                new_cost = jnp.where(better, cand, new_cost)
-                new_hops = jnp.where(better, cand_h, new_hops)
-                new_label = jnp.where(better, nl, new_label)
+            nc, nh, nl = relax_once(
+                with_ghosts(cost, _BIG), with_ghosts(hops, _INF_HOPS),
+                with_ghosts(label, 0), e_e, m_e)
+            new_cost, new_hops, new_label = nc[1:-1], nh[1:-1], nl[1:-1]
             # the cost plane must be part of the convergence check (same
             # argument as ops/watershed.py): a cost-only relaxation this
             # sweep can flip a neighbor's label in the NEXT sweep
@@ -137,6 +112,10 @@ def spatial_decode_distance(border_pred, cell_pred, mesh: Mesh,
     h_pad, w_pad = cell_pred.shape
     stripe = h_pad // n_dev
     halo = 64
+    if stripe < halo:
+        raise ValueError(
+            f"stripe {stripe} < seed-filter halo {halo}; pad the canvas so "
+            f"H_pad is a multiple of n_dev * {halo}")
 
     sharding = NamedSharding(mesh, P(AXIS, None))
 
@@ -219,36 +198,23 @@ def spatial_watershed_2d(image, markers, mask, mesh: Mesh,
         hops = jnp.where(seeded, 0, _INF_HOPS)
         label = jnp.where(seeded, k_s.astype(jnp.int32), 0)
 
+        # elevation/mask ghosts are loop-invariant: ship them once
+        e_e = _with_halo2d(e, 1, 1, ny, nx, _BIG)
+        m_e = _with_halo2d(m_s, 1, 1, ny, nx, False)
+
         def cond(s):
             _, _, _, ch, it = s
             return jnp.logical_and(ch, it < max_iters)
 
         def body(s):
             cost, hops, label, _, it = s
-            cost_e = _with_halo2d(cost, 1, 1, ny, nx, _BIG)
-            hops_e = _with_halo2d(hops, 1, 1, ny, nx, _INF_HOPS)
-            label_e = _with_halo2d(label, 1, 1, ny, nx, 0)
-            new_cost, new_hops, new_label = cost, hops, label
-            for dy, dx in _SHIFTS_8:
-                nc = _shift2(cost_e, dy, dx, _BIG)[1:-1, 1:-1]
-                nh = _shift2(hops_e, dy, dx, _INF_HOPS)[1:-1, 1:-1]
-                nl = _shift2(label_e, dy, dx, 0)[1:-1, 1:-1]
-                cand = jnp.maximum(nc, e)
-                cand_h = jnp.where(nh == _INF_HOPS, _INF_HOPS, nh + 1)
-                cost_eq = cand == new_cost
-                better = jnp.logical_or(
-                    cand < new_cost,
-                    jnp.logical_and(cost_eq, jnp.logical_or(
-                        cand_h < new_hops,
-                        jnp.logical_and(
-                            cand_h == new_hops,
-                            jnp.logical_and(nl > 0, nl < new_label)))),
-                )
-                better = jnp.logical_and(better,
-                                         jnp.logical_and(m_s, nl > 0))
-                new_cost = jnp.where(better, cand, new_cost)
-                new_hops = jnp.where(better, cand_h, new_hops)
-                new_label = jnp.where(better, nl, new_label)
+            nc, nh, nl = relax_once(
+                _with_halo2d(cost, 1, 1, ny, nx, _BIG),
+                _with_halo2d(hops, 1, 1, ny, nx, _INF_HOPS),
+                _with_halo2d(label, 1, 1, ny, nx, 0), e_e, m_e)
+            new_cost = nc[1:-1, 1:-1]
+            new_hops = nh[1:-1, 1:-1]
+            new_label = nl[1:-1, 1:-1]
             changed = jax.lax.pmax(jax.lax.pmax(
                 jnp.any(jnp.logical_or(
                     new_label != label,
@@ -286,6 +252,10 @@ def spatial_decode_distance_2d(border_pred, cell_pred, mesh: Mesh,
     h_pad, w_pad = cell_pred.shape
     stripe_y, stripe_x = h_pad // ny, w_pad // nx
     halo = 64
+    if stripe_y < halo or stripe_x < halo:
+        raise ValueError(
+            f"block ({stripe_y},{stripe_x}) < seed-filter halo {halo}; pad "
+            f"with pad_for_mesh2d(min_stripe={halo})")
 
     @jax.jit
     def prep(cell, border):

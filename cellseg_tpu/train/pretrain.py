@@ -86,6 +86,10 @@ def _draw_plane(im: np.ndarray, rs: np.random.RandomState) -> np.ndarray:
     heuristic for skipping empty z-planes, autoencoder_dataset.py:70-77)."""
     if im.ndim == 2:
         return im
+    if im.shape[-1] <= 4 and im.shape[0] > 4:
+        # channel-last RGB(A) frame, not a z-stack: collapse to luminance
+        # (slicing axis 0 would shred it into (W, C) slivers)
+        return im[..., :3].mean(axis=-1)
     mean = float(im.mean())
     z = rs.randint(im.shape[0])
     for _ in range(10):

@@ -97,3 +97,32 @@ def test_dunet_arch_knobs():
     assert border2.shape == (1, 32, 32, 1)
     # and the two modes genuinely differ in computation
     assert not np.allclose(np.asarray(border), np.asarray(border2))
+
+
+def test_deep_filters_ladder_builds():
+    """Reference --filters ladders deeper than 5 levels (e.g. 32→1024)
+    must derive a matching strides tuple; a stale 4-entry default would
+    desynchronize encoder/decoder resolutions and crash at the skip
+    concat."""
+    import jax
+    import jax.numpy as jnp
+
+    from cellseg_tpu.models import build_model
+    from cellseg_tpu.models.unet import AutoUNet
+
+    chans = (8, 16, 32, 64, 128, 256)  # 6 levels
+    m = build_model("dunet", channels=chans)
+    x = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    p = m.init(jax.random.PRNGKey(0), x)
+    b, c = m.apply(p, x)
+    assert b.shape == (1, 64, 64, 1) and c.shape == (1, 64, 64, 1)
+
+    a = AutoUNet(channels=chans)
+    pa = a.init(jax.random.PRNGKey(0), x)
+    assert a.apply(pa, x).shape == (1, 64, 64, 1)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="strides"):
+        build_model("unet", channels=(8, 16, 32),
+                    strides=(2, 2, 2)).init(jax.random.PRNGKey(0), x)

@@ -70,3 +70,20 @@ def test_z_slice_rejects_dim_planes():
     # rejection loop (≤10 retries, reference semantics) lifts it to ~77%+
     hit = np.mean([p.mean() == 1.0 for p in draws])
     assert hit >= 0.6, hit
+
+
+def test_draw_plane_rgb_frame_not_sliced():
+    """(H, W, 3) RGB frames are luminance-collapsed, NOT z-sliced into
+    (W, 3) slivers (load_pretrain_corpus admits .png RGB files)."""
+    import numpy as np
+
+    from cellseg_tpu.train.pretrain import _draw_plane
+
+    rs = np.random.RandomState(0)
+    rgb = rs.rand(48, 64, 3).astype(np.float32)
+    plane = _draw_plane(rgb, rs)
+    assert plane.shape == (48, 64)
+    np.testing.assert_allclose(plane, rgb.mean(axis=-1), rtol=1e-6)
+
+    vol = rs.rand(12, 48, 64).astype(np.float32)  # genuine z-stack
+    assert _draw_plane(vol, rs).shape == (48, 64)

@@ -167,3 +167,32 @@ def test_spatial_decode_distance_2d_matches_single(mesh2d):
     assert s["f1"] == 1.0, s
     agree = (got == want).mean()
     assert agree > 0.999, agree
+
+
+def test_spatial_watershed_giant_marker_ids(mesh):
+    """Marker ids above 2^24 (global raster root indices on gigapixel
+    canvases) must cross the stripe-boundary halo exchange intact — a
+    float32 detour would alias 16777217/16777219 to the same value."""
+    h, w = 256, 128
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    # two adjacent basins straddling the stripe boundary at row 64
+    b1 = np.exp(-(((yy - 50) ** 2 + (xx - 64) ** 2) / 900))
+    b2 = np.exp(-(((yy - 80) ** 2 + (xx - 64) ** 2) / 900))
+    cell = np.maximum(b1, b2)
+    mask = cell > 0.05
+    id1, id2 = 2**24 + 1, 2**24 + 3  # both round to 16777216/8 in float32
+    markers = np.zeros((h, w), np.int32)
+    markers[50, 64] = id1
+    markers[80, 64] = id2
+
+    sh = NamedSharding(mesh, P(AXIS, None))
+    got = np.asarray(spatial_watershed(
+        jax.device_put(jnp.asarray(-cell), sh),
+        jax.device_put(jnp.asarray(markers), sh),
+        jax.device_put(jnp.asarray(mask), sh),
+        mesh,
+    ))
+    assert set(np.unique(got[mask])) == {id1, id2}
+    want = np.asarray(watershed_jax(jnp.asarray(-cell), jnp.asarray(markers),
+                                    jnp.asarray(mask)))
+    assert np.array_equal(got, want)
