@@ -41,6 +41,10 @@ def main(argv=None):
                              "z-slices (reference :137-141)")
     parser.add_argument("--cell_type", default="", type=str,
                         help="CTC cell type for FOI correction")
+    parser.add_argument("--save_raw_pred", action="store_true",
+                        help="also write raw cell/border predictions and "
+                             "the tan-transformed border map (reference "
+                             "inference.py:118-121)")
     args = parser.parse_args(argv)
 
     from ..utils.cache import enable_compilation_cache
@@ -78,6 +82,22 @@ def main(argv=None):
         if args.cell_type:
             labels = foi_correction(labels, args.cell_type)
         results[name] = labels
+        if args.save_raw_pred and not (img.ndim == 3 and img.shape[-1] > 4):
+            # reference writes cell{id}, raw_border{id} and the
+            # tan-transformed border{id} (inference.py:118-121)
+            from ..io.images import imwrite
+            stem = name.split(".")[0] + "_label.tiff"
+            border_p, cell_p = predictor.last_raw
+            border_c = np.clip(border_p.astype(np.float32), 0, 1)
+            border_t = np.tan(border_c ** 2)
+            border_t = np.clip(np.where(border_t < 0.05, 0.0, border_t),
+                               0, 1)
+            imwrite(join(args.output_path, "cell" + stem),
+                    cell_p.astype(np.float32))
+            imwrite(join(args.output_path, "raw_border" + stem),
+                    border_p.astype(np.float32))
+            imwrite(join(args.output_path, "border" + stem),
+                    border_t.astype(np.float32))
         print(f"inferred {name}: {labels.max()} cells, "
               f"{time.time() - t0:.2f}s")
 

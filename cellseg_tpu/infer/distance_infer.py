@@ -124,6 +124,9 @@ class DistancePredictor:
         border, cell = fwd(self.params, jnp.asarray(padded[..., None]))
         border = np.asarray(border)[:h, :w]
         cell = np.asarray(cell)[:h, :w]
+        # network-resolution raw heads (--save_raw_pred parity with
+        # reference inference.py:118-121, which dumps pre-resize outputs)
+        self.last_raw = (border, cell)
         labels = decode_distance(border, cell, th_cell=self.th_cell,
                                  th_seed=self.th_seed)
         if self.scale != 1.0:

@@ -91,3 +91,36 @@ def test_distance_predictor_roundtrip(trainset, tmp_path):
     labels = pred.predict(img)
     assert labels.shape == (96, 96)
     assert labels.dtype == np.int32
+
+
+def test_infer_distance_cli_save_raw_pred(trainset, tmp_path):
+    """--save_raw_pred writes cell/raw_border/border float maps next to
+    the instance tiff (reference inference.py:118-121)."""
+    from cellseg_tpu.cli.infer_distance import main as infer_main
+    from cellseg_tpu.io.images import imread, imwrite
+    from cellseg_tpu.train.distance_loop import (
+        DistanceTrainConfig,
+        train_distance,
+    )
+
+    cfg = DistanceTrainConfig(
+        data_path=trainset, work_dir=str(tmp_path / "w"),
+        channels=(8, 16, 32), batch_size=2, max_epochs=2,
+    )
+    res = train_distance(cfg)
+
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    img = np.zeros((96, 96), np.uint8)
+    img[10:40, 10:40] = 200
+    imwrite(str(in_dir / "case0.png"), img)
+
+    infer_main(["-i", str(in_dir), "-o", str(out_dir),
+                "--model_path", res["model_path"], "--save_raw_pred"])
+    assert (out_dir / "case0_label.tiff").exists()
+    for prefix in ("cell", "raw_border", "border"):
+        p = out_dir / f"{prefix}case0_label.tiff"
+        assert p.exists(), p
+        arr = np.asarray(imread(str(p)))
+        assert arr.shape == (96, 96) and arr.dtype == np.float32
