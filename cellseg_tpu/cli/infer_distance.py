@@ -79,25 +79,22 @@ def main(argv=None):
             labels = predictor.predict(img)
             if args.apply_merging:
                 labels = apply_merging(labels, predictor.last_border)
+            if args.save_raw_pred:
+                # reference writes cell{id}, raw_border{id} and the
+                # tan-transformed border{id} (inference.py:118-121)
+                from ..decode.distance import transform_border
+                from ..io.images import imwrite
+                stem = name.split(".")[0] + "_label.tiff"
+                border_p, cell_p = predictor.last_raw
+                imwrite(join(args.output_path, "cell" + stem),
+                        cell_p.astype(np.float32))
+                imwrite(join(args.output_path, "raw_border" + stem),
+                        border_p.astype(np.float32))
+                imwrite(join(args.output_path, "border" + stem),
+                        np.asarray(transform_border(border_p)))
         if args.cell_type:
             labels = foi_correction(labels, args.cell_type)
         results[name] = labels
-        if args.save_raw_pred and not (img.ndim == 3 and img.shape[-1] > 4):
-            # reference writes cell{id}, raw_border{id} and the
-            # tan-transformed border{id} (inference.py:118-121)
-            from ..io.images import imwrite
-            stem = name.split(".")[0] + "_label.tiff"
-            border_p, cell_p = predictor.last_raw
-            border_c = np.clip(border_p.astype(np.float32), 0, 1)
-            border_t = np.tan(border_c ** 2)
-            border_t = np.clip(np.where(border_t < 0.05, 0.0, border_t),
-                               0, 1)
-            imwrite(join(args.output_path, "cell" + stem),
-                    cell_p.astype(np.float32))
-            imwrite(join(args.output_path, "raw_border" + stem),
-                    border_p.astype(np.float32))
-            imwrite(join(args.output_path, "border" + stem),
-                    border_t.astype(np.float32))
         print(f"inferred {name}: {labels.max()} cells, "
               f"{time.time() - t0:.2f}s")
 

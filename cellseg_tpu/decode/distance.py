@@ -36,6 +36,17 @@ def _smooth_cell(cell_pred: jax.Array) -> jax.Array:
                                    radius=2)[..., 0]
 
 
+def transform_border(border_pred: jax.Array) -> jax.Array:
+    """The decode's border sharpening: tan(clip(b)²) with a 0.05 floor
+    (reference postprocessing.py:71-74). THE single definition — the
+    sharded decodes and --save_raw_pred dumps must stay in sync with the
+    seed computation."""
+    border = jnp.clip(border_pred.astype(jnp.float32), 0, 1)
+    borders = jnp.tan(border ** 2)
+    borders = jnp.where(borders < 0.05, 0.0, borders)
+    return jnp.clip(borders, 0, 1)
+
+
 @functools.partial(jax.jit, static_argnames=("rescue",))
 def _seeds_and_mask(cell_pred: jax.Array, border_pred: jax.Array,
                     th_cell: jax.Array, th_seed: jax.Array,
@@ -50,13 +61,8 @@ def _seeds_and_mask(cell_pred: jax.Array, border_pred: jax.Array,
     predictions.
     """
     cell = _smooth_cell(cell_pred)
-    border = jnp.clip(border_pred.astype(jnp.float32), 0, 1)
     mask = cell > th_cell
-
-    borders = jnp.tan(border ** 2)
-    borders = jnp.where(borders < 0.05, 0.0, borders)
-    borders = jnp.clip(borders, 0, 1)
-    cleaned = cell - borders
+    cleaned = cell - transform_border(border_pred)
     seed_mask = cleaned > th_seed
 
     # One CC propagation + one sort-based area pass (the scatter-add this

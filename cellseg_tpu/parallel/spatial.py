@@ -114,6 +114,15 @@ def spatial_sliding_window(apply_fn, params, image, mesh: Mesh,
     """
     n_dev = mesh.shape[AXIS]
     stride = int(roi * (1.0 - overlap))
+    if 2 * stride < roi:
+        # the flush-origin edge handling replaces only the LAST on-grid
+        # origin, which reproduces tile_origins' clamping exactly iff at
+        # most one origin per stripe exceeds size - roi, i.e. stride >=
+        # roi/2; larger overlaps would silently blend fabricated ghost
+        # context at the canvas edge
+        raise ValueError(
+            f"overlap {overlap} > 0.5 not supported by the sharded "
+            f"engine (roi {roi}, stride {stride})")
     h_pad, w_pad = image.shape[0], image.shape[1]
     stripe = h_pad // n_dev
     halo = roi - stride
@@ -228,16 +237,18 @@ def _keep_large_or_edge(mask_ext: jax.Array, threshold: int,
     pixels when halo ≥ threshold — an edge-touching component extends
     beyond the ext, so its true area is unknown but ≥ halo).
 
-    Gather/scatter-free: areas come from sort-based segmented run lengths;
-    the per-component edge flag is a segment-OR computed with a prefix +
-    suffix cummax pass over the same sorted order.
+    Gather/scatter-free and single-sorted-pass: ONE sort of
+    (roots, edge, idx) yields both the segment run lengths (areas) and the
+    segment-OR edge flag (prefix + suffix cummax); ONE unsort carries the
+    combined 1-byte keep decision back to pixel order. (The previous
+    shape — component_areas_by_sort plus a separate edge-flag pass — paid
+    4 full-image sorts; sorts are the dominant decode term, BASELINE.md.)
     """
-    from ..ops.cc import _root_labels, component_areas_by_sort
+    from ..ops.cc import _root_labels
 
     shape = mask_ext.shape
     roots = _root_labels(mask_ext, connectivity).ravel()
     flat_mask = mask_ext.ravel()
-    areas = component_areas_by_sort(roots, flat_mask)
     edge_flat = jnp.logical_and(edge.ravel(), flat_mask)
     n = roots.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -248,18 +259,19 @@ def _keep_large_or_edge(mask_ext: jax.Array, threshold: int,
         [jnp.ones((1,), jnp.bool_), sr[1:] != sr[:-1]])
     is_end = jnp.concatenate([sr[1:] != sr[:-1], jnp.ones((1,), jnp.bool_)])
     start_pos = jax.lax.cummax(jnp.where(is_start, idx, -1))
+    end_pos = -jax.lax.cummax(jnp.where(is_end, -idx, -(n + 1))[::-1])[::-1]
+    area_sorted = end_pos - start_pos + 1
     # prefix-OR within segment (fwd) + suffix-OR (bwd) = segment OR
     last_edge = jax.lax.cummax(jnp.where(se > 0, idx, -1))
     fwd_or = last_edge >= start_pos
-    end_pos = -jax.lax.cummax(jnp.where(is_end, -idx, -(n + 1))[::-1])[::-1]
     first_edge = -jax.lax.cummax(
         jnp.where(se > 0, -idx, -(n + 1))[::-1])[::-1]
     bwd_or = first_edge <= end_pos
     seg_edge = jnp.logical_or(fwd_or, bwd_or)
-    _, edge_px = jax.lax.sort(
-        (si, seg_edge.astype(jnp.int32)), num_keys=1, is_stable=False)
-    big = jnp.logical_or(areas >= threshold, edge_px > 0)
-    return jnp.logical_and(flat_mask, big).reshape(shape)
+    big_sorted = jnp.logical_or(area_sorted >= threshold, seg_edge)
+    _, big_px = jax.lax.sort(
+        (si, big_sorted.astype(jnp.int8)), num_keys=1, is_stable=False)
+    return jnp.logical_and(flat_mask, big_px.astype(jnp.bool_)).reshape(shape)
 
 
 def _filter_local(mask_ext: jax.Array, threshold: int, connectivity: int,

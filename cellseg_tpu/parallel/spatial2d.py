@@ -98,6 +98,12 @@ def spatial_sliding_window_2d(apply_fn, params, image, mesh: Mesh,
     exact overlap blending (parity with the single-chip engine)."""
     ny, nx = mesh.shape[AXY], mesh.shape[AXX]
     stride = int(roi * (1.0 - overlap))
+    if 2 * stride < roi:
+        # see spatial.spatial_sliding_window: the single flush origin per
+        # block axis is exact only for overlap <= 0.5
+        raise ValueError(
+            f"overlap {overlap} > 0.5 not supported by the sharded "
+            f"engine (roi {roi}, stride {stride})")
     h_pad, w_pad = image.shape[0], image.shape[1]
     stripe_y, stripe_x = h_pad // ny, w_pad // nx
     halo = roi - stride

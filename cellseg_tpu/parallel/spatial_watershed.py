@@ -10,9 +10,16 @@ to ops/watershed.watershed_jax on the same canvas.
 `spatial_decode_distance` composes the full KIT-GE decode across the mesh:
 smoothing and thresholds (XLA auto-partitions the elementwise work), seed
 labeling via the sharded CC, a seed area filter, and the sharded flood.
-The seed min-area filter uses a 64-px halo: seeds larger than the halo that
-also cross a stripe boundary are conservatively kept (they exceed any
-plausible 0.1×mean-area threshold in practice); everything else is exact.
+The seed min-area filter ships a halo sized to the data-dependent
+threshold (max(64, floor(0.1·mean_area)+1), capped at the stripe): with
+halo ≥ threshold the keep decisions are EXACT (a seam-crossing seed
+smaller than the halo is fully visible to every owning block; a larger
+one spans ≥ halo pixels from any owned pixel to the ext border, so
+keeping it is correct). In the rare threshold > stripe regime the root
+block's local decision is flooded over each component
+(_root_decision_markers + a flat-elevation watershed), so seeds are kept
+or dropped WHOLE — conservative in a band of [stripe, threshold)-area
+seam-crossing seeds, never slivered.
 """
 
 from __future__ import annotations
@@ -97,6 +104,21 @@ def spatial_watershed(image, markers, mask, mesh: Mesh,
     return fn(image, mask, markers)
 
 
+@jax.jit
+def _root_decision_markers(seeds, seed_mask, keep_local):
+    """Per-component decision markers for the threshold > stripe seed
+    filter: at each component root (the pixel whose global raster index
+    is its own label - 1), marker 1 if the root's block kept it locally,
+    else 2. Flooding these over the seed components (flat-elevation
+    watershed — exactly one marker per component) broadcasts the root
+    block's decision, so a component is kept or dropped WHOLE."""
+    h, w = seed_mask.shape
+    lin = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    is_root = jnp.logical_and(seed_mask, seeds - 1 == lin)
+    return jnp.where(is_root,
+                     jnp.where(keep_local, 1, 2), 0).astype(jnp.int32)
+
+
 def spatial_decode_distance(border_pred, cell_pred, mesh: Mesh,
                             th_cell: float = 0.07,
                             th_seed: float = 0.45) -> np.ndarray:
@@ -105,17 +127,17 @@ def spatial_decode_distance(border_pred, cell_pred, mesh: Mesh,
     border_pred/cell_pred: (H_pad, W_pad) float arrays sharded P(AXIS, None)
     with H_pad a multiple of n_dev * 64. Returns host int32 labels.
     """
+    from ..decode.distance import transform_border
     from ..metrics import relabel_sequential
     from ..pipeline.augment import separable_gaussian_blur
 
     n_dev = mesh.shape[AXIS]
     h_pad, w_pad = cell_pred.shape
     stripe = h_pad // n_dev
-    halo = 64
-    if stripe < halo:
+    if stripe < 64:
         raise ValueError(
-            f"stripe {stripe} < seed-filter halo {halo}; pad the canvas so "
-            f"H_pad is a multiple of n_dev * {halo}")
+            f"stripe {stripe} < 64; pad the canvas so H_pad is a multiple "
+            f"of n_dev * 64")
 
     sharding = NamedSharding(mesh, P(AXIS, None))
 
@@ -125,10 +147,8 @@ def spatial_decode_distance(border_pred, cell_pred, mesh: Mesh,
         cell_s = separable_gaussian_blur(
             cell.astype(jnp.float32)[..., None], jnp.float32(0.5),
             jnp.float32(0.5), radius=2)[..., 0]
-        borders = jnp.tan(jnp.clip(border.astype(jnp.float32), 0, 1) ** 2)
-        borders = jnp.clip(jnp.where(borders < 0.05, 0.0, borders), 0, 1)
         mask = cell_s > th_cell
-        seed_mask = (cell_s - borders) > th_seed
+        seed_mask = (cell_s - transform_border(border)) > th_seed
         return cell_s, mask, seed_mask
 
     cell_s, mask, seed_mask = prep(cell_pred, border_pred)
@@ -149,8 +169,19 @@ def spatial_decode_distance(border_pred, cell_pred, mesh: Mesh,
     mean_area = float(jax.device_get(n_px)) / max(float(jax.device_get(n_seeds)), 1.0)
     min_area = max(0.10 * mean_area, 4.0)
 
-    # halo-local area filter on the seed mask (exact for seeds smaller than
-    # the halo; larger seam-crossing seeds are conservatively kept)
+    # halo-local area filter on the seed mask. Exact when the halo can
+    # cover the data-dependent threshold (a seam-crossing seed smaller
+    # than the halo is fully visible to every owning block; a larger one
+    # spans >= halo pixels from any owned pixel to the ext border, so
+    # keeping it is correct). When the threshold exceeds the stripe the
+    # local views can DISAGREE (one block sees the full small seed, its
+    # neighbor only an edge-touching sliver) — there the root block's
+    # decision is flooded over each component so the filter stays
+    # whole-component consistent (conservative, never slivered).
+    threshold = int(np.floor(min_area)) + 1
+    halo = min(max(64, threshold), stripe)
+    exact = halo >= threshold
+
     def filter_fn(sm):
         sm = sm.reshape(stripe, w_pad)
 
@@ -160,14 +191,22 @@ def spatial_decode_distance(border_pred, cell_pred, mesh: Mesh,
             return jnp.concatenate([top, m, bot], axis=0)
 
         # keep if area > min_area ⇔ integer area >= floor(min_area)+1
-        return _filter_local(with_halo(sm), int(np.floor(min_area)) + 1, 2,
-                             halo, stripe)
+        return _filter_local(with_halo(sm), threshold, 2, halo, stripe)
 
     seed_mask2 = shard_map(
         filter_fn, mesh=mesh, in_specs=(P(AXIS, None),),
         out_specs=P(AXIS, None), check_vma=False,
     )(seed_mask)
-    seeds2 = spatial_label_components(seed_mask2, mesh)
+    if exact:
+        # the filter drops whole components, so surviving pixels keep
+        # their global root ids — no second global CC needed (same
+        # optimization as the single-device _seeds_and_mask)
+        seeds2 = jnp.where(seed_mask2, seeds, 0)
+    else:
+        markers = _root_decision_markers(seeds, seed_mask, seed_mask2)
+        dec = spatial_watershed(jnp.zeros_like(cell_s), markers,
+                                seed_mask, mesh)
+        seeds2 = jnp.where(dec == 1, seeds, 0)
 
     labels = spatial_watershed(-cell_s, seeds2, mask, mesh)
     host = np.asarray(jax.device_get(labels))
@@ -243,6 +282,7 @@ def spatial_decode_distance_2d(border_pred, cell_pred, mesh: Mesh,
     CC → halo-local seed area filter → minimax flood) with every stage on
     the (sy, sx) mesh. border/cell: (H_pad, W_pad) sharded P(AXY, AXX)
     with stripes that are multiples of 64. Returns host int32 labels."""
+    from ..decode.distance import transform_border
     from ..metrics import relabel_sequential
     from ..pipeline.augment import separable_gaussian_blur
     from .spatial2d import (AXX, AXY, _filter_local2d, _with_halo2d,
@@ -251,21 +291,18 @@ def spatial_decode_distance_2d(border_pred, cell_pred, mesh: Mesh,
     ny, nx = mesh.shape[AXY], mesh.shape[AXX]
     h_pad, w_pad = cell_pred.shape
     stripe_y, stripe_x = h_pad // ny, w_pad // nx
-    halo = 64
-    if stripe_y < halo or stripe_x < halo:
+    if stripe_y < 64 or stripe_x < 64:
         raise ValueError(
-            f"block ({stripe_y},{stripe_x}) < seed-filter halo {halo}; pad "
-            f"with pad_for_mesh2d(min_stripe={halo})")
+            f"block ({stripe_y},{stripe_x}) < 64; pad with "
+            f"pad_for_mesh2d(min_stripe=64)")
 
     @jax.jit
     def prep(cell, border):
         cell_s = separable_gaussian_blur(
             cell.astype(jnp.float32)[..., None], jnp.float32(0.5),
             jnp.float32(0.5), radius=2)[..., 0]
-        borders = jnp.tan(jnp.clip(border.astype(jnp.float32), 0, 1) ** 2)
-        borders = jnp.clip(jnp.where(borders < 0.05, 0.0, borders), 0, 1)
         mask = cell_s > th_cell
-        seed_mask = (cell_s - borders) > th_seed
+        seed_mask = (cell_s - transform_border(border)) > th_seed
         return cell_s, mask, seed_mask
 
     cell_s, mask, seed_mask = prep(cell_pred, border_pred)
@@ -285,17 +322,29 @@ def spatial_decode_distance_2d(border_pred, cell_pred, mesh: Mesh,
                  / max(float(jax.device_get(n_seeds)), 1.0))
     min_area = max(0.10 * mean_area, 4.0)
 
+    # tiered exactness — see spatial_decode_distance
+    threshold = int(np.floor(min_area)) + 1
+    halo = min(max(64, threshold), stripe_y, stripe_x)
+    exact = halo >= threshold
+
     def filter_fn(sm):
         sm = sm.reshape(stripe_y, stripe_x)
         ext = _with_halo2d(sm, halo, halo, ny, nx, fill=False)
-        return _filter_local2d(ext, int(np.floor(min_area)) + 1, 2,
+        return _filter_local2d(ext, threshold, 2,
                                halo, halo, stripe_y, stripe_x)
 
     seed_mask2 = shard_map(
         filter_fn, mesh=mesh, in_specs=(P(AXY, AXX),),
         out_specs=P(AXY, AXX), check_vma=False,
     )(seed_mask)
-    seeds2 = spatial_label_components_2d(seed_mask2, mesh)
+    if exact:
+        # whole components survive the filter → reuse the global root ids
+        seeds2 = jnp.where(seed_mask2, seeds, 0)
+    else:
+        markers = _root_decision_markers(seeds, seed_mask, seed_mask2)
+        dec = spatial_watershed_2d(jnp.zeros_like(cell_s), markers,
+                                   seed_mask, mesh)
+        seeds2 = jnp.where(dec == 1, seeds, 0)
 
     labels = spatial_watershed_2d(-cell_s, seeds2, mask, mesh)
     host = np.asarray(jax.device_get(labels))

@@ -196,3 +196,50 @@ def test_spatial_watershed_giant_marker_ids(mesh):
     want = np.asarray(watershed_jax(jnp.asarray(-cell), jnp.asarray(markers),
                                     jnp.asarray(mask)))
     assert np.array_equal(got, want)
+
+
+def test_seed_filter_whole_component_when_threshold_exceeds_stripe(mesh):
+    """threshold > stripe regime: the root block's decision floods each
+    seed component, so every seed is kept or dropped WHOLE — a
+    seam-crossing seed must never survive as a partial sliver."""
+    from cellseg_tpu.parallel.spatial_watershed import spatial_decode_distance
+
+    h, w = 256, 192  # 4 stripes of 64
+    # one giant seam-crossing cell (drives mean seed area, and thus the
+    # threshold, far past the 64-row stripe) + one mid-size seam-crosser
+    cell = np.zeros((h, w), np.float64)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    big = np.maximum(0, 1 - np.maximum(np.abs(yy - 128) / 120,
+                                       np.abs(xx - 60) / 55))
+    mid = np.maximum(0, 1 - np.maximum(np.abs(yy - 64) / 26,
+                                       np.abs(xx - 150) / 26))
+    cell = np.maximum(big, mid)
+    border = np.zeros((h, w), np.float64)
+
+    sh = NamedSharding(mesh, P(AXIS, None))
+    got = spatial_decode_distance(
+        jax.device_put(jnp.asarray(border), sh),
+        jax.device_put(jnp.asarray(cell), sh),
+        mesh,
+    )
+    # whole-component property: every output instance is 8-connected
+    # (a sliver split off its body would create a second piece with the
+    # same decision history → disconnected label)
+    from scipy import ndimage as ndi
+
+    for lab_id in np.unique(got[got > 0]):
+        _, n_pieces = ndi.label(got == lab_id,
+                                structure=np.ones((3, 3), np.int32))
+        assert n_pieces == 1, (lab_id, n_pieces)
+    assert got.max() >= 1
+
+
+def test_sharded_forward_rejects_large_overlap(mesh):
+    """overlap > 0.5 would re-introduce ghost-overhanging edge tiles
+    (single flush origin per stripe); the engine must refuse."""
+    from cellseg_tpu.parallel.spatial import spatial_sliding_window
+
+    img = jnp.zeros((256, 128, 3), jnp.float32)
+    with pytest.raises(ValueError, match="overlap"):
+        spatial_sliding_window(lambda p, t: t, None, img, mesh,
+                               roi=64, overlap=0.75)
