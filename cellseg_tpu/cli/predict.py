@@ -58,6 +58,11 @@ def main(argv=None):
                              "for touching cells")
     parser.add_argument("--overlap", default=0.25, type=float,
                         help="sliding-window tile overlap fraction")
+    parser.add_argument("--tta", action="store_true",
+                        help="dihedral test-time augmentation: average "
+                             "the softmax over the 8 flip/rot90 views "
+                             "before decoding (beyond parity; ~8x the "
+                             "forward cost)")
     parser.add_argument("-h", "--help", action="help")
     args = parser.parse_args(argv)
 
@@ -96,7 +101,7 @@ def main(argv=None):
         sw_batch=(args.sw_batch_size if args.sw_batch_size == "auto"
                   else int(args.sw_batch_size)),
         num_class=args.num_class, bucket=args.bucket, mode=args.blend,
-        overlap=args.overlap, decode=args.decode,
+        overlap=args.overlap, decode=args.decode, tta=args.tta,
     )
 
     images = {}

@@ -57,7 +57,8 @@ class Predictor:
                  sw_batch: int | str = "auto",
                  overlap: float = 0.25, num_class: int = 3,
                  mode: str = "constant", bucket: int = 256,
-                 normalize: bool = True, decode: str = "cc"):
+                 normalize: bool = True, decode: str = "cc",
+                 tta: bool = False):
         self.apply_fn = apply_fn
         self.params = params
         self.roi = roi
@@ -77,6 +78,11 @@ class Predictor:
         # "boundary_watershed": beyond-parity splitter for touching cells
         # (decode/threeclass.py:decode_boundary_watershed)
         self.decode = decode
+        # dihedral test-time augmentation (beyond parity, opt-in): average
+        # the softmax over the 8 flip/rot90 views before decoding. ~8× the
+        # forward cost (the forward is ~1/5 of the decode budget at 4.2 MP,
+        # BASELINE.md), sharper boundary ridges where CC merges leak.
+        self.tta = tta
         self._jitted = {}
 
     def _program(self, ph: int, pw: int, c_in: int = 3):
@@ -122,14 +128,35 @@ class Predictor:
         else:
             sw_batch = self.sw_batch
 
-        @jax.jit
-        def stage_forward(params, np01):
+        def _probs(params, x):
             logits = sliding_window_inference(
-                self.apply_fn, params, np01, roi=self.roi,
+                self.apply_fn, params, x, roi=self.roi,
                 sw_batch=sw_batch, overlap=self.overlap,
                 out_channels=self.num_class, mode=self.mode,
             )
-            probs = jax.nn.softmax(logits, axis=-1)
+            return jax.nn.softmax(logits, axis=-1)
+
+        @jax.jit
+        def stage_forward(params, np01):
+            if self.tta:
+                # 8 dihedral views, inverse-mapped and averaged. rot90 on
+                # a non-square canvas transposes the tile grid — each view
+                # is its own tiling, which is fine: TTA is an ensemble,
+                # not a parity path.
+                acc = None
+                for k in range(4):
+                    for flip in (False, True):
+                        xt = jnp.rot90(np01, k, axes=(0, 1))
+                        if flip:
+                            xt = xt[:, ::-1]
+                        pt = _probs(params, xt)
+                        if flip:
+                            pt = pt[:, ::-1]
+                        pt = jnp.rot90(pt, -k, axes=(0, 1))
+                        acc = pt if acc is None else acc + pt
+                probs = acc / 8.0
+            else:
+                probs = _probs(params, np01)
             if boundary_ws:
                 return probs[..., 1:3]  # interior + boundary
             return probs[..., 1]

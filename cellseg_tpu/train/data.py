@@ -36,6 +36,11 @@ def split_train_val(img_path: str, gt_path: str, seed: int = 2022,
     indices = np.arange(len(img_names))
     rng.shuffle(indices)
     val_split = int(len(img_names) * val_frac)
+    if val_split == 0 and len(img_names) >= 2 and val_frac > 0:
+        # tiny corpora (e.g. the 9-patch real-data anchor): an empty val
+        # set silently disables best-checkpoint selection and early
+        # stopping — always hold out at least one image
+        val_split = 1
     val_idx, train_idx = indices[:val_split], indices[val_split:]
 
     def files(idx):

@@ -52,3 +52,39 @@ def test_matches_whole_image_forward():
     # differently and instance norms amplify the rounding gap to ~1e-2
     direct = jax.jit(apply_fn)(params, x[None])[0]
     np.testing.assert_allclose(np.asarray(sw), np.asarray(direct), atol=1e-4)
+
+
+def test_tta_pointwise_equals_plain():
+    """For a pointwise model every dihedral view inverse-maps to the same
+    canvas, so the TTA average must equal the plain forward exactly — any
+    wrong inverse transform (flip axis, rotation sign) breaks equality."""
+    from cellseg_tpu.infer.predictor import Predictor
+
+    rng = np.random.default_rng(2)
+    img = (rng.random((100, 130)) * 255).astype(np.uint8)
+
+    def apply_fn(params, tiles):
+        # 3 fixed "logit" channels, a pointwise function of the input
+        g = tiles[..., :1]
+        return jnp.concatenate([-g, g, g * 0.5], axis=-1)
+
+    plain = Predictor(apply_fn, None, roi=64, bucket=64, tta=False)
+    tta = Predictor(apply_fn, None, roi=64, bucket=64, tta=True)
+    np.testing.assert_array_equal(tta.predict(img), plain.predict(img))
+
+
+def test_tta_runs_on_conv_model():
+    """TTA end-to-end smoke on a real (non-equivariant) conv model:
+    shapes, dtype, and a sane instance count."""
+    from cellseg_tpu.infer.predictor import Predictor
+    from cellseg_tpu.models.unet import UNet
+
+    m = UNet(channels=(4, 8), strides=(2,))
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x0)
+    img = np.zeros((96, 80), np.uint8)
+    img[20:50, 20:50] = 220
+    pred = Predictor(lambda p, t: m.apply(p, t), params, roi=64,
+                     bucket=64, tta=True)
+    labels = pred.predict(img)
+    assert labels.shape == (96, 80) and labels.dtype == np.int32
