@@ -186,17 +186,20 @@ def eval_pipelines(rot: str, train: str, test: str, args,
                  "--max_epochs", str(args.epochs3c),
                  "--min_val_epoch", "4", "--epoch_tolerance", "60",
                  "--batch_size", "4"])
-        for decode, rkey in (("cc", "3class"),
-                             ("boundary_watershed", "3class_watershed")):
-            seg = os.path.join(rot, f"seg3c_{decode}")
+        for decode, extra, rkey in (
+                ("cc", [], "3class"),
+                ("boundary_watershed", [], "3class_watershed"),
+                ("boundary_watershed", ["--tta"], "3class_watershed_tta")):
+            tag = decode + ("_tta" if extra else "")
+            seg = os.path.join(rot, f"seg3c_{tag}")
             run([sys.executable, "-m", "cellseg_tpu.cli.predict",
                  "-i", os.path.join(test, "images"), "-o", seg,
                  "--model_path", model_dir,
                  "--checkpoint", best_ckpt(model_dir),
-                 "--decode", decode])
+                 "--decode", decode] + extra)
             results[rkey][key] = f1_per_case(
                 os.path.join(test, "labels"), seg,
-                os.path.join(rot, f"m3c_{decode}"))
+                os.path.join(rot, f"m3c_{tag}"))
 
     if "distance" in args.pipelines:
         wd = os.path.join(rot, "wdd")
@@ -226,7 +229,8 @@ def main():
     p.add_argument("--rotations", nargs="+", default=NAMES)
     args = p.parse_args()
 
-    results = {"3class": {}, "3class_watershed": {}, "distance": {},
+    results = {"3class": {}, "3class_watershed": {},
+               "3class_watershed_tta": {}, "distance": {},
                "decode_delta": {}}
     if args.mode == "patch":
         train, test = stage_patch_holdout(args.out)

@@ -120,6 +120,7 @@ def test_spatial_predict_end_to_end(mesh):
     assert np.array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_spatial_predictor_device_normalization_parity(mesh):
     """SpatialPredictor's on-device percentile normalize + grayscale
     expansion (global stats under sharding) must equal host

@@ -144,6 +144,7 @@ def conv_apply(params, tiles):
     return jnp.concatenate(outs, axis=-1)
 
 
+@pytest.mark.slow
 def test_forward_matches_single_with_receptive_field(mesh):
     """Edge tiles must use the single-chip flush origins, not hang past
     the canvas into zero ghosts (exact tile-set parity)."""

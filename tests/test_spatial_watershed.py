@@ -198,6 +198,7 @@ def test_spatial_watershed_giant_marker_ids(mesh):
     assert np.array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_seed_filter_whole_component_when_threshold_exceeds_stripe(mesh):
     """threshold > stripe regime: the root block's decision floods each
     seed component, so every seed is kept or dropped WHOLE — a
