@@ -31,9 +31,12 @@ from ..pipeline.augment import separable_gaussian_blur
 
 @functools.partial(jax.jit, static_argnames=())
 def _smooth_cell(cell_pred: jax.Array) -> jax.Array:
+    # symmetric padding = scipy gaussian_filter's default 'reflect'
+    # (edge repeated); jnp 'reflect' is scipy's 'mirror' and diverges in
+    # the border band (postprocessing.py:68 parity)
     x = cell_pred.astype(jnp.float32)[..., None]
     return separable_gaussian_blur(x, jnp.float32(0.5), jnp.float32(0.5),
-                                   radius=2)[..., 0]
+                                   radius=2, pad_mode="symmetric")[..., 0]
 
 
 def transform_border(border_pred: jax.Array) -> jax.Array:

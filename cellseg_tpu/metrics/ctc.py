@@ -28,11 +28,37 @@ from .f1 import label_overlap
 
 
 def _matches(gt: np.ndarray, pred: np.ndarray):
-    """CTC >50%-coverage matching. Returns (overlap, gt_sizes, pred_match)
-    where pred_match[j] = list of GT ids whose majority pixel mass j covers."""
+    """Pixel-overlap histogram for CTC matching: (overlap, gt_sizes) with
+    overlap[g, j] = |gt==g ∩ pred==j| and gt_sizes[g] = |gt==g|."""
     overlap = label_overlap(gt, pred)
     gt_sizes = overlap.sum(axis=1)
     return overlap, gt_sizes
+
+
+def _gt_majority_match(overlap: np.ndarray,
+                       gt_sizes: np.ndarray) -> np.ndarray:
+    """gt_match[g] = pred id covering the strict majority of GT object g
+    (0 if none) — the official DETMeasure's detection-test rule."""
+    n_gt = overlap.shape[0] - 1
+    gt_match = np.zeros(n_gt + 1, dtype=np.int64)
+    for g in range(1, n_gt + 1):
+        if gt_sizes[g] == 0:
+            continue
+        row = overlap[g, 1:]
+        if row.size:
+            j = int(np.argmax(row)) + 1
+            if overlap[g, j] * 2 > gt_sizes[g]:
+                gt_match[g] = j
+    return gt_match
+
+
+def _n_pred_present(overlap: np.ndarray) -> int:
+    """Number of pred objects actually PRESENT in the frame. Label maps
+    are not necessarily dense (foi_correction zeroes ids in place without
+    relabeling, decode/distance.py:146-147) — counting up to max-id would
+    report phantom false positives for every vacated id."""
+    pred_sizes = overlap.sum(axis=0)
+    return int(np.sum(pred_sizes[1:] > 0))
 
 
 def seg_object_scores(gt: np.ndarray, pred: np.ndarray) -> list[float]:
@@ -42,14 +68,14 @@ def seg_object_scores(gt: np.ndarray, pred: np.ndarray) -> list[float]:
     if overlap.shape[0] - 1 <= 0:
         return []
     pred_sizes = overlap.sum(axis=0)
+    gt_match = _gt_majority_match(overlap, gt_sizes)
     scores = []
     for g in range(1, overlap.shape[0]):
         if gt_sizes[g] == 0:
             continue
-        row = overlap[g, 1:]
-        j = int(np.argmax(row)) + 1 if row.size else 0
-        inter = overlap[g, j] if j > 0 else 0
-        if inter * 2 > gt_sizes[g]:  # strict majority rule
+        j = gt_match[g]
+        if j > 0:  # strict majority rule
+            inter = overlap[g, j]
             union = gt_sizes[g] + pred_sizes[j] - inter
             scores.append(float(inter / union))
         else:
@@ -71,21 +97,11 @@ def det_frame_costs(gt: np.ndarray, pred: np.ndarray,
     normalizing — per-frame normalization would weight sparse frames up."""
     overlap, gt_sizes = _matches(gt, pred)
     n_gt = overlap.shape[0] - 1
-    n_pred = overlap.shape[1] - 1
+    n_pred = _n_pred_present(overlap)
     if n_gt <= 0:
         return float(w_fp * n_pred), 0.0
 
-    # gt_match[g] = pred id covering the majority of g (0 if none)
-    gt_match = np.zeros(n_gt + 1, dtype=np.int64)
-    for g in range(1, n_gt + 1):
-        if gt_sizes[g] == 0:
-            continue
-        row = overlap[g, 1:]
-        if row.size:
-            j = int(np.argmax(row)) + 1
-            if overlap[g, j] * 2 > gt_sizes[g]:
-                gt_match[g] = j
-
+    gt_match = _gt_majority_match(overlap, gt_sizes)
     matched_gt = gt_match > 0
     matched_gt[0] = False
     fn = int(np.sum(~matched_gt[1:] & (gt_sizes[1:] > 0)))
@@ -113,24 +129,14 @@ def det_errors(gt: np.ndarray, pred: np.ndarray) -> dict:
     """Error decomposition (the reference parses these from the DET log,
     KIT-GE segmentation/utils/metrics.py:82-123): split ops, FN, FP."""
     overlap, gt_sizes = _matches(gt, pred)
-    n_gt = overlap.shape[0] - 1
-    n_pred = overlap.shape[1] - 1
-    gt_match = np.zeros(n_gt + 1, dtype=np.int64)
-    for g in range(1, n_gt + 1):
-        if gt_sizes[g] == 0:
-            continue
-        row = overlap[g, 1:]
-        if row.size:
-            j = int(np.argmax(row)) + 1
-            if overlap[g, j] * 2 > gt_sizes[g]:
-                gt_match[g] = j
+    gt_match = _gt_majority_match(overlap, gt_sizes)
     matched = gt_match > 0
     matched[0] = False
     used, counts = np.unique(gt_match[gt_match > 0], return_counts=True)
     return {
         "splitting_operations": int(np.sum(counts - 1)),
         "false_negatives": int(np.sum(~matched[1:] & (gt_sizes[1:] > 0))),
-        "false_positives": int(n_pred - len(used)),
+        "false_positives": int(_n_pred_present(overlap) - len(used)),
     }
 
 

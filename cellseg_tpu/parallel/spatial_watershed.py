@@ -127,9 +127,8 @@ def spatial_decode_distance(border_pred, cell_pred, mesh: Mesh,
     border_pred/cell_pred: (H_pad, W_pad) float arrays sharded P(AXIS, None)
     with H_pad a multiple of n_dev * 64. Returns host int32 labels.
     """
-    from ..decode.distance import transform_border
+    from ..decode.distance import _smooth_cell, transform_border
     from ..metrics import relabel_sequential
-    from ..pipeline.augment import separable_gaussian_blur
 
     n_dev = mesh.shape[AXIS]
     h_pad, w_pad = cell_pred.shape
@@ -143,10 +142,9 @@ def spatial_decode_distance(border_pred, cell_pred, mesh: Mesh,
 
     @jax.jit
     def prep(cell, border):
-        # σ=0.5 gaussian: XLA partitions the conv with automatic halos
-        cell_s = separable_gaussian_blur(
-            cell.astype(jnp.float32)[..., None], jnp.float32(0.5),
-            jnp.float32(0.5), radius=2)[..., 0]
+        # σ=0.5 gaussian (shared _smooth_cell: scipy-parity symmetric
+        # padding); XLA partitions the conv with automatic halos
+        cell_s = _smooth_cell(cell)
         mask = cell_s > th_cell
         seed_mask = (cell_s - transform_border(border)) > th_seed
         return cell_s, mask, seed_mask
@@ -282,9 +280,8 @@ def spatial_decode_distance_2d(border_pred, cell_pred, mesh: Mesh,
     CC → halo-local seed area filter → minimax flood) with every stage on
     the (sy, sx) mesh. border/cell: (H_pad, W_pad) sharded P(AXY, AXX)
     with stripes that are multiples of 64. Returns host int32 labels."""
-    from ..decode.distance import transform_border
+    from ..decode.distance import _smooth_cell, transform_border
     from ..metrics import relabel_sequential
-    from ..pipeline.augment import separable_gaussian_blur
     from .spatial2d import (AXX, AXY, _filter_local2d, _with_halo2d,
                             spatial_label_components_2d)
 
@@ -298,9 +295,7 @@ def spatial_decode_distance_2d(border_pred, cell_pred, mesh: Mesh,
 
     @jax.jit
     def prep(cell, border):
-        cell_s = separable_gaussian_blur(
-            cell.astype(jnp.float32)[..., None], jnp.float32(0.5),
-            jnp.float32(0.5), radius=2)[..., 0]
+        cell_s = _smooth_cell(cell)
         mask = cell_s > th_cell
         seed_mask = (cell_s - transform_border(border)) > th_seed
         return cell_s, mask, seed_mask

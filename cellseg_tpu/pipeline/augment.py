@@ -98,15 +98,22 @@ def _gaussian_kernel1d(sigma: jax.Array, radius: int) -> jax.Array:
 
 
 def separable_gaussian_blur(img: jax.Array, sigma_y: jax.Array,
-                            sigma_x: jax.Array, radius: int = 8) -> jax.Array:
-    """Depthwise separable Gaussian blur, (H, W, C), reflect padding."""
+                            sigma_x: jax.Array, radius: int = 8,
+                            pad_mode: str = "reflect") -> jax.Array:
+    """Depthwise separable Gaussian blur, (H, W, C).
+
+    pad_mode: numpy pad mode for the borders. NOTE scipy's
+    gaussian_filter default mode='reflect' repeats the edge sample —
+    that is numpy/jnp 'symmetric', NOT jnp 'reflect' (scipy calls the
+    latter 'mirror'); decode paths chasing scipy bit-parity must pass
+    pad_mode='symmetric'."""
     ky = _gaussian_kernel1d(sigma_y, radius)
     kx = _gaussian_kernel1d(sigma_x, radius)
 
     def conv_axis(x, k, axis):
         pad = [(0, 0)] * 3
         pad[axis] = (radius, radius)
-        xp = jnp.pad(x, pad, mode="reflect")
+        xp = jnp.pad(x, pad, mode=pad_mode)
         # shift-and-add formulation: static unrolled taps keep this a pure
         # VPU fusion instead of a gather
         out = jnp.zeros_like(x)
@@ -124,7 +131,11 @@ def random_gaussian_smooth(key, img, prob, sigma_x_range, sigma_y_range):
     do = jax.random.uniform(k_do) < prob
     sx = jax.random.uniform(k_sx, minval=sigma_x_range[0], maxval=sigma_x_range[1])
     sy = jax.random.uniform(k_sy, minval=sigma_y_range[0], maxval=sigma_y_range[1])
-    return jnp.where(do, separable_gaussian_blur(img, sy, sx), img)
+    # MONAI RandGaussianSmoothd convention: sigma_x is the FIRST spatial
+    # dimension (rows), sigma_y the second — the reference chain sets only
+    # sigma_x=(1,2) (model_training_3class.py:144), so the axis mapping is
+    # load-bearing for distributional parity
+    return jnp.where(do, separable_gaussian_blur(img, sx, sy), img)
 
 
 def random_histogram_shift(key, img, prob, num_control_points):

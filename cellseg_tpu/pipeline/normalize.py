@@ -50,20 +50,36 @@ def normalize_image(img: np.ndarray, lower: float = 1, upper: float = 99) -> np.
     return out
 
 
-def _histogram_256(vals: jax.Array) -> jax.Array:
+def _histogram_256(vals: jax.Array, group_elems: int = 1 << 23) -> jax.Array:
     """Exact 256-bin count histogram of int values in [0, 256).
 
     One-hot einsum rides the MXU (~1.6 ms @ 4.2 MP on v5e) — 24× faster
-    than a scatter-add histogram on TPU.
+    than a scatter-add histogram on TPU. The einsum accumulates in
+    float32, which is only integer-exact to 2²⁴ — gigapixel slides put
+    >16.7M pixels into one bin — so the reduction is grouped (≤2²³
+    elements per group, exact) and the per-group counts are summed in
+    int32 (exact to 2³¹ ≈ 2.1 G pixels per channel). Zero-row padding is
+    safe: it lands in bin 0, which the nonzero-percentile caller zeroes.
     """
     n = vals.size
     # pick a second dim around 4096 for clean tiling
     cols = 4096 if n % 4096 == 0 else (128 if n % 128 == 0 else 1)
-    xi = vals.reshape(n // cols, cols)
+    rows = n // cols
+    # rows per exact-f32 group, capped at the actual row count — padding
+    # up to an oversized group would multiply the one-hot work for small
+    # images (a 256² image padded 16 → 2048 rows is 128× the FLOPs)
+    gb = max(1, min(rows, group_elems // cols))
+    pad = (-rows) % gb
+    xi = vals.reshape(rows, cols)
+    if pad:
+        xi = jnp.concatenate(
+            [xi, jnp.zeros((pad, cols), xi.dtype)], axis=0)
+    xi = xi.reshape(-1, gb, cols)
     oh = jax.nn.one_hot(xi, 256, dtype=jnp.bfloat16)
     ones = jnp.ones(xi.shape, jnp.bfloat16)
-    return jnp.einsum("bc,bcv->v", ones, oh,
-                      preferred_element_type=jnp.float32)
+    counts = jnp.einsum("gbc,gbcv->gv", ones, oh,
+                        preferred_element_type=jnp.float32)
+    return jnp.sum(counts.astype(jnp.int32), axis=0)
 
 
 def _percentile_from_hist(hist: jax.Array, n_nonzero: jax.Array, q: float):
@@ -71,19 +87,30 @@ def _percentile_from_hist(hist: jax.Array, n_nonzero: jax.Array, q: float):
 
     The k-th order statistic of integer data is the smallest value v with
     cumcount(v) > k; linear interpolation between floor/ceil positions
-    reproduces np.percentile exactly.
+    reproduces np.percentile exactly. The rank k = q/100·(n−1) is
+    computed in EXACT int32 arithmetic (q is static, expressed as the
+    fraction a/b): a float32 rank is only exact to 2²⁴, which would
+    drift the order statistic by up to ~64 positions on gigapixel
+    channels.
     """
+    from fractions import Fraction
+
+    fq = Fraction(q) / 100  # q is a static Python float → exact fraction
+    a = jnp.int32(fq.numerator)
+    b = jnp.int32(fq.denominator)
     cum = jnp.cumsum(hist)  # counts of values <= v, zeros excluded upstream
-    pos = (q / 100.0) * (n_nonzero - 1).astype(jnp.float32)
-    lo_k = jnp.floor(pos)
-    frac = pos - lo_k
+    n1 = jnp.maximum(n_nonzero.astype(jnp.int32) - 1, 0)
+    # a*n1 can overflow int32 for gigapixel n — split n1 = d*b + r first
+    d, r = n1 // b, n1 % b
+    lo_k = a * d + (a * r) // b
+    frac = ((a * r) % b).astype(jnp.float32) / b.astype(jnp.float32)
 
     def order_stat(k):
         # smallest v such that cum[v] >= k+1
         return jnp.argmax(cum >= k + 1).astype(jnp.float32)
 
     lo_v = order_stat(lo_k)
-    hi_v = jnp.where(lo_k + 1 <= n_nonzero - 1, order_stat(lo_k + 1), lo_v)
+    hi_v = jnp.where(lo_k + 1 <= n1, order_stat(lo_k + 1), lo_v)
     return lo_v + frac * (hi_v - lo_v)
 
 
@@ -103,15 +130,18 @@ def normalize_image_jax(img: jax.Array, lower: float = 1.0, upper: float = 99.0)
     def norm_one_hist(ch: jax.Array) -> jax.Array:
         n_nonzero = jnp.sum(ch != 0)
         hist = _histogram_256(ch.astype(jnp.int32))
-        hist = hist.at[0].set(0.0)  # nonzero-only percentiles
+        hist = hist.at[0].set(0)  # nonzero-only percentiles
         chf = ch.astype(jnp.float32)
         p_lo = _percentile_from_hist(hist, n_nonzero, lower)
         p_hi = _percentile_from_hist(hist, n_nonzero, upper)
         scaled = jnp.clip(chf, p_lo, p_hi)
         scaled = (scaled - p_lo) / jnp.maximum(p_hi - p_lo, 1e-9) * 255.0
-        out = jnp.where(p_hi - p_lo > 0.001, scaled, chf)
-        out = jnp.where(n_nonzero > 0, out, jnp.zeros_like(chf))
-        return jnp.clip(jnp.floor(out), 0, 255)
+        # degenerate range: host parity is astype(np.uint8), i.e. wrap
+        # mod 256, not clip (uint8 inputs are unaffected either way)
+        passthrough = jnp.mod(jnp.trunc(chf), 256.0)
+        out = jnp.where(p_hi - p_lo > 0.001,
+                        jnp.clip(jnp.floor(scaled), 0, 255), passthrough)
+        return jnp.where(n_nonzero > 0, out, jnp.zeros_like(chf))
 
     def norm_one_sort(ch: jax.Array) -> jax.Array:
         chf = ch.astype(jnp.float32)
@@ -130,9 +160,11 @@ def normalize_image_jax(img: jax.Array, lower: float = 1.0, upper: float = 99.0)
         p_lo, p_hi = pct(lower), pct(upper)
         scaled = jnp.clip(chf, p_lo, p_hi)
         scaled = (scaled - p_lo) / jnp.maximum(p_hi - p_lo, 1e-9) * 255.0
-        out = jnp.where(p_hi - p_lo > 0.001, scaled, chf)
-        out = jnp.where(n_nonzero > 0, out, jnp.zeros_like(chf))
-        return jnp.clip(jnp.floor(out), 0, 255)
+        # degenerate range passes through with uint8-cast (wrap) parity
+        passthrough = jnp.mod(jnp.trunc(chf), 256.0)
+        out = jnp.where(p_hi - p_lo > 0.001,
+                        jnp.clip(jnp.floor(scaled), 0, 255), passthrough)
+        return jnp.where(n_nonzero > 0, out, jnp.zeros_like(chf))
 
     norm_one = norm_one_hist if img.dtype == jnp.uint8 else norm_one_sort
     out = jax.vmap(norm_one, in_axes=1, out_axes=1)(x)

@@ -337,3 +337,23 @@ def test_seg_is_mean_jaccard_of_matches():
     pred[4:12, 15:27] = 2    # covers 72/96 of gt2 (>50%), union 96+96-72=120
     expect = np.mean([48 / 64, 72 / 120])
     assert abs(seg_score(gt, pred) - expect) < 1e-12
+
+
+def test_det_not_penalized_by_non_dense_pred_ids():
+    """foi_correction zeroes ids in place without relabeling — DET must
+    count PRESENT pred objects, not assume dense ids up to max."""
+    from cellseg_tpu.metrics.ctc import det_errors, det_score
+
+    gt = np.zeros((32, 32), np.int64)
+    gt[2:10, 2:10] = 1
+    gt[20:28, 20:28] = 2
+    pred = np.zeros((32, 32), np.int64)
+    pred[2:10, 2:10] = 1
+    pred[20:28, 20:28] = 5  # non-dense: ids {1, 5}
+    assert det_score(gt, pred) == 1.0
+    errs = det_errors(gt, pred)
+    assert errs["false_positives"] == 0, errs
+    # a genuinely extra PRESENT object still counts
+    pred2 = pred.copy()
+    pred2[14:18, 2:6] = 9
+    assert det_errors(gt, pred2)["false_positives"] == 1

@@ -111,3 +111,73 @@ def test_interior_map_hand_case():
     assert (tri[4:8, 4:8] == 1).all()
     assert tri[2, 2] == 2
     assert tri[0, 0] == 0
+
+
+def test_histogram_grouped_accumulation_matches_bincount():
+    """The grouped int32 accumulation (gigapixel-exactness fix: f32
+    einsum counts are only exact to 2^24) must equal np.bincount for any
+    group size, including groups that force row padding."""
+    import jax.numpy as jnp
+
+    from cellseg_tpu.pipeline.normalize import _histogram_256
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 256, 128 * 37, dtype=np.int32)  # cols=128 path
+    want = np.bincount(vals, minlength=256)
+    for group in (1 << 23, 256, 129):  # default, small, pad-forcing
+        got = np.asarray(_histogram_256(jnp.asarray(vals), group))
+        # bin 0 absorbs the zero-row padding by contract (the
+        # nonzero-percentile caller zeroes it); bins 1..255 must be exact
+        np.testing.assert_array_equal(got[1:], want[1:], err_msg=str(group))
+
+
+def test_normalize_degenerate_uint16_wrap_parity():
+    """Degenerate percentile range passes through with uint8-cast (wrap
+    mod 256) semantics on device, matching the host normalize_channel."""
+    import jax.numpy as jnp
+
+    from cellseg_tpu.pipeline.normalize import (
+        normalize_channel,
+        normalize_image_jax,
+    )
+
+    ch = np.full((64, 64), 300, np.uint16)
+    ch[0, 0] = 0  # keep a zero so nonzero-percentile path engages
+    host = normalize_channel(ch)
+    dev = np.asarray(normalize_image_jax(
+        jnp.asarray(ch[..., None].astype(np.uint16))))[..., 0]
+    assert host[1, 1] == 44  # 300 % 256
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_flow_targets_border_cells_not_degenerate():
+    """Cells overlapping the image frame get one-sided log-heat
+    gradients there — not a zeroed row that strands decode pixels."""
+    from cellseg_tpu.pipeline.flow_labels import masks_to_flows
+
+    lbl = np.zeros((40, 40), np.int32)
+    lbl[0:12, 10:26] = 1  # touches row 0
+    flow, mask = masks_to_flows(lbl)
+    gy_row0 = flow[0][0, 12:24]
+    # row-0 pixels must point DOWN toward the cell center (gy > 0)
+    assert (gy_row0 > 0.1).all(), gy_row0
+
+
+def test_gaussian_smooth_sigma_x_is_first_axis():
+    """MONAI convention: sigma_x blurs the FIRST spatial dimension."""
+    import jax
+    import jax.numpy as jnp
+
+    from cellseg_tpu.pipeline.augment import random_gaussian_smooth
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((64, 64, 1)).astype(np.float32))
+    out = random_gaussian_smooth(
+        jax.random.PRNGKey(0), img, prob=1.0,
+        sigma_x_range=(8.0, 8.0), sigma_y_range=(1e-3, 1e-3))
+    out = np.asarray(out)[..., 0]
+    # huge sigma_x → rows (axis 0) heavily smoothed, columns nearly not:
+    # variance along axis 0 collapses much more than along axis 1
+    var_along0 = np.var(np.diff(out, axis=0))
+    var_along1 = np.var(np.diff(out, axis=1))
+    assert var_along0 < 0.1 * var_along1, (var_along0, var_along1)
