@@ -27,6 +27,7 @@ def pointwise_apply(params, tiles):
     return tiles * 3.0 - 1.0
 
 
+@pytest.mark.slow
 def test_spatial_sliding_window_matches_single(mesh):
     rng = np.random.default_rng(0)
     roi, overlap = 64, 0.25
@@ -148,6 +149,7 @@ def test_spatial_predictor_device_normalization_parity(mesh):
     assert dev.max() >= 1
 
 
+@pytest.mark.slow
 def test_spatial_forward_receptive_field_parity(mesh):
     """Bottom-stripe tiles must use the single-chip flush origin, not hang
     `halo` fabricated zero rows past the canvas: with a 3x3 mean-filter

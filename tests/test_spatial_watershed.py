@@ -42,6 +42,7 @@ def test_spatial_watershed_matches_single(mesh):
     assert set(np.unique(got[mask])) == {1, 2}
 
 
+@pytest.mark.slow
 def test_spatial_decode_distance_matches_single(mesh):
     from cellseg_tpu.decode.distance import decode_distance
     from cellseg_tpu.metrics import relabel_sequential, score_pair
