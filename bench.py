@@ -60,6 +60,17 @@ def make_slide(H: int = 2048, W: int = 2048, n_cells: int = 2000,
     return img
 
 
+_WATCHDOG_TIMER = None  # cancelled before a retry subprocess takes over
+
+
+def _error_line(metric: str, why: str) -> None:
+    print(json.dumps({
+        "metric": metric, "value": 0.0,
+        "unit": "megapixels/sec/chip", "vs_baseline": 0.0,
+        "error": why,
+    }), flush=True)
+
+
 def _watchdog(metric: str, probe_timeout_s: float = 300.0,
               total_timeout_s: float = 3000.0) -> None:
     """Guard against a hung device backend (the axon tunnel has been
@@ -71,11 +82,7 @@ def _watchdog(metric: str, probe_timeout_s: float = 300.0,
     import threading
 
     def fail(why: str) -> None:
-        print(json.dumps({
-            "metric": metric, "value": 0.0,
-            "unit": "megapixels/sec/chip", "vs_baseline": 0.0,
-            "error": why,
-        }), flush=True)
+        _error_line(metric, why)
         os._exit(2)
 
     ready = threading.Event()
@@ -97,6 +104,96 @@ def _watchdog(metric: str, probe_timeout_s: float = 300.0,
                      "(backend stalled mid-run?)"))
     timer.daemon = True
     timer.start()
+    global _WATCHDOG_TIMER
+    _WATCHDOG_TIMER = timer
+
+
+class _InjectedFault(RuntimeError):
+    """Test-only synthetic device fault (see --inject-fault)."""
+
+
+def _is_device_fault(exc: BaseException) -> bool:
+    """Transient device/backend faults worth one fresh-process retry.
+
+    Round 3's driver artifact was lost to exactly this class of error: a
+    one-off "TPU worker process crashed or restarted … kernel fault"
+    escaped as a traceback and the driver recorded no JSON line, while an
+    identical rerun minutes later completed clean (VERDICT r3 item 1).
+    """
+    tname = type(exc).__name__
+    if tname in ("XlaRuntimeError", "JaxRuntimeError", "_InjectedFault"):
+        return True
+    s = f"{tname}: {exc}".lower()
+    return any(p in s for p in (
+        "worker process crashed", "worker crashed", "restarted",
+        "kernel fault", "deadline exceeded", "socket closed",
+        "unavailable:", "data loss", "tunnel",
+    ))
+
+
+def _run_guarded(fn, metric: str, kw: dict, inject: str | None,
+                 watchdog: bool = True) -> int:
+    """Run a bench body under the one-JSON-line contract.
+
+    Any exception is converted into a valid error-JSON line (the watchdog
+    pattern, matching the reference's defensive per-case guard,
+    baseline/cellseg_time_eval.py:96-97). A device-fault error triggers ONE
+    retry in a fresh interpreter (fresh backend handle) before giving up;
+    CELLSEG_BENCH_ATTEMPT=2 marks the retry so it cannot recurse.
+    """
+    is_retry = os.environ.get("CELLSEG_BENCH_ATTEMPT") == "2"
+    if watchdog:
+        _watchdog(metric)
+    try:
+        if inject == "fatal" or (inject == "transient" and not is_retry):
+            raise _InjectedFault(
+                "INTERNAL: Accelerator device halted prematurely... TPU "
+                "worker process crashed or restarted (injected test fault)")
+        return fn(**kw)
+    except BaseException as e:  # noqa: BLE001 — the JSON line must survive
+        import traceback
+
+        tb_tail = traceback.format_exc().strip().splitlines()[-1]
+        err = f"{type(e).__name__}: {e}"
+        print(f"bench attempt failed: {err}", file=sys.stderr, flush=True)
+        if _is_device_fault(e) and not is_retry:
+            # fresh interpreter: a crashed/restarted TPU worker can leave
+            # the in-process backend handle permanently wedged
+            import subprocess
+
+            if _WATCHDOG_TIMER is not None:
+                _WATCHDOG_TIMER.cancel()
+            env = dict(os.environ)
+            env["CELLSEG_BENCH_ATTEMPT"] = "2"
+            print("device fault — retrying once in a fresh process",
+                  file=sys.stderr, flush=True)
+            try:
+                # capture the child's stdout so exactly ONE JSON line
+                # reaches the driver: the child's line (success OR its own
+                # error line) is forwarded verbatim; only a child that
+                # produced no JSON at all falls through to the parent line
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)]
+                    + sys.argv[1:], env=env, timeout=3000,
+                    capture_output=True, text=True)
+                sys.stderr.write(proc.stderr)
+                child_json = [ln for ln in proc.stdout.splitlines()
+                              if ln.startswith("{")]
+                if child_json:
+                    print(child_json[-1], flush=True)
+                    return proc.returncode
+                err += f" (retry rc={proc.returncode}, no JSON)"
+            except subprocess.TimeoutExpired:
+                err += " (retry timed out)"
+        _error_line(metric, f"{err} | {tb_tail}")
+        return 2
+
+
+def main_selftest() -> int:
+    """Cheap no-device body for exercising the guard machinery in tests."""
+    print(json.dumps({"metric": "bench_selftest", "value": 1.0,
+                      "unit": "ok", "vs_baseline": 1.0}))
+    return 0
 
 
 def _stage_timer(sync):
@@ -420,19 +517,28 @@ def main():
 
 if __name__ == "__main__":
     # driver contract: bare `python bench.py` prints the flagship 3-class
-    # line; --pipeline distance|flow bench the other decode families
-    # (VERDICT r2 item 3)
+    # line; --pipeline distance|flow|train bench the other families
+    # (VERDICT r2 item 3). Every mode runs under _run_guarded: a crash
+    # emits an error-JSON line, a transient device fault retries once in
+    # a fresh process (VERDICT r3 item 1).
     _METRICS = {"distance": "distance_pipeline_throughput",
                 "flow": "flow_pipeline_throughput",
                 "train": "train_step_throughput_3class",
-                "3class": "sliding_window_instance_seg_throughput"}
-    if "--pipeline" in sys.argv:
+                "3class": "sliding_window_instance_seg_throughput",
+                "selftest": "bench_selftest"}
+    _MAINS = {"distance": main_distance, "flow": main_flow,
+              "train": main_train, "3class": main,
+              "selftest": main_selftest}
+    which = "3class"
+    if "--selftest" in sys.argv:
+        which = "selftest"
+    elif "--pipeline" in sys.argv:
         which = sys.argv[sys.argv.index("--pipeline") + 1]
-        kw = {}
-        if "--size" in sys.argv and which in ("distance", "flow"):
-            kw["H"] = int(sys.argv[sys.argv.index("--size") + 1])
-        _watchdog(_METRICS[which])
-        sys.exit({"distance": main_distance, "flow": main_flow,
-                  "train": main_train, "3class": main}[which](**kw))
-    _watchdog(_METRICS["3class"])
-    sys.exit(main())
+    kw = {}
+    if "--size" in sys.argv and which in ("distance", "flow"):
+        kw["H"] = int(sys.argv[sys.argv.index("--size") + 1])
+    inject = None
+    if "--inject-fault" in sys.argv:
+        inject = sys.argv[sys.argv.index("--inject-fault") + 1]
+    sys.exit(_run_guarded(_MAINS[which], _METRICS[which], kw, inject,
+                          watchdog=(which != "selftest")))
