@@ -94,10 +94,10 @@ def fused_sweeps(lab: jax.Array, mask: jax.Array, k: int = 8,
         kernel,
         grid=(n_stripes,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((stripe + 2 * k, w), jnp.int32),

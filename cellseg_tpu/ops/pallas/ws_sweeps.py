@@ -133,8 +133,8 @@ def fused_ws_sweeps(e: jax.Array, mask: jax.Array, cost: jax.Array,
     out = pl.pallas_call(
         kernel,
         grid=(h // stripe,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_shape=[
             jax.ShapeDtypeStruct((h, w), jnp.float32),
             jax.ShapeDtypeStruct((h, w), jnp.int32),

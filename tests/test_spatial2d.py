@@ -132,6 +132,71 @@ def test_predictor2d_end_to_end(mesh):
     assert np.array_equal(labels > 0, img > 0)
 
 
+@pytest.mark.slow
+def test_16dev_2048_parity_with_single_device():
+    """North-star-direction scale (BASELINE.json config #5): a (4, 4) mesh
+    of 16 virtual devices on a 2048x2048 canvas must produce EXACTLY the
+    single-device instance map (host-morphology reference), and the padded
+    canvas must stay < 1.3x pixels (VERDICT r3 item 6).
+
+    Needs 16 devices while conftest forces 8, so the comparison runs in a
+    fresh subprocess with its own forced device count.
+    """
+    import os
+    import subprocess
+    import sys
+
+    code = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+         if "xla_force_host_platform_device_count" not in f]
+os.environ["XLA_FLAGS"] = " ".join(
+    flags + ["--xla_force_host_platform_device_count=16"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 16, jax.devices()
+import sys
+sys.path.insert(0, "/root/repo")
+import numpy as np
+import __graft_entry__ as g
+from cellseg_tpu.parallel.spatial2d import (
+    SpatialPredictor2D, make_mesh2d, pad_for_mesh2d)
+from cellseg_tpu.ops.host_morphology import (
+    connected_components, remove_small_holes, remove_small_objects)
+
+size = 2048
+img, n_disks = g._make_disk_slide(size, size)
+mesh = make_mesh2d(4, 4)
+roi, overlap = 256, 0.25
+h_pad, w_pad, _, _ = pad_for_mesh2d(size, size, 4, 4, roi,
+                                    int(roi * (1 - overlap)))
+assert (h_pad * w_pad) / (size * size) < 1.3, (h_pad, w_pad)
+pred = SpatialPredictor2D(g._bright_logits_apply, None, mesh, roi=roi,
+                          sw_batch=4, overlap=overlap, num_class=3,
+                          normalize=False)
+got = pred.predict(img)
+
+# single-device reference: the pointwise model's probability map equals
+# the input mask exactly, so the host decode chain IS the single-device
+# pipeline output (threshold -> hole fill -> object filter -> CC)
+mask = img > 0.5
+want = connected_components(
+    remove_small_objects(remove_small_holes(mask, 64), 16), connectivity=2)
+assert got.shape == want.shape
+assert int(got.max()) == n_disks == int(want.max()), (
+    int(got.max()), n_disks, int(want.max()))
+np.testing.assert_array_equal(got, want)
+print("PARITY_OK", n_disks)
+"""
+    env = dict(os.environ)
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=580,
+                          cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "PARITY_OK" in proc.stdout
+
+
 def conv_apply(params, tiles):
     """3x3 mean filter per channel: a REAL receptive field, so tile-window
     membership changes the output near tile borders — exercises the
