@@ -62,6 +62,47 @@ def make_slide(H: int = 2048, W: int = 2048, n_cells: int = 2000,
 
 _WATCHDOG_TIMER = None  # cancelled before a retry subprocess takes over
 
+# TPU v5e single-chip peaks (public spec sheet): 197 TFLOP/s dense bf16
+# on the MXU, 819 GB/s HBM bandwidth. MFU/roofline figures below are
+# measured-vs-these; on a different chip generation they are simply a
+# different denominator, the analytic numerators stay valid.
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_HBM_BYTES_PER_S = 819e9
+
+
+def _cost_analysis(jitted, *args) -> dict:
+    """Analytic FLOPs / HBM-bytes of a compiled executable.
+
+    XLA's cost analysis runs on the post-fusion optimized HLO, so
+    'bytes accessed' approximates real HBM traffic (fused elementwise
+    chains are not double counted) and 'flops' is the analytic conv/
+    matmul count — the numerator VERDICT r3 item 3 asks for. Returns {}
+    if the backend can't report (never fails the bench)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return dict(ca)
+    except Exception as e:  # noqa: BLE001 — strictly best-effort
+        print(f"cost_analysis unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+        return {}
+
+
+def _mfu(flops: float | None, ms: float) -> float | None:
+    """Model FLOPs utilization vs the v5e bf16 peak for a stage that took
+    `ms` milliseconds (net of sync)."""
+    if not flops or ms <= 0:
+        return None
+    return round(flops / (ms / 1e3) / V5E_PEAK_BF16_FLOPS, 4)
+
+
+def _hbm_frac(nbytes: float | None, ms: float) -> float | None:
+    """Achieved HBM bandwidth as a fraction of the v5e 819 GB/s peak."""
+    if not nbytes or ms <= 0:
+        return None
+    return round(nbytes / (ms / 1e3) / V5E_HBM_BYTES_PER_S, 4)
+
 
 def _error_line(metric: str, why: str) -> None:
     print(json.dumps({
@@ -267,6 +308,9 @@ def main_distance(H: int = 2048):
     compute_ms = sum(max(v - sync_ms, 0.0) for k, v in stages.items()
                      if k != "sync_overhead")
     mps = round(mp / max(compute_ms, 1e-6) * 1e3, 2)
+    fcost = _cost_analysis(fwd, params, x)
+    flood_j = jax.jit(_flood)
+    dcost = _cost_analysis(flood_j, cell_s, seeds, mask)
     print(json.dumps({
         "metric": "distance_pipeline_throughput",
         "value": mps,
@@ -274,6 +318,17 @@ def main_distance(H: int = 2048):
         "vs_baseline": round(mps / 0.1, 2),
         "instances_decoded": n_instances,
         "stage_ms_at_4.2MP": stages,
+        "mfu": _mfu(fcost.get("flops"),
+                    max(stages["forward"] - sync_ms, 1e-6)),
+        "roofline": {
+            "forward_tflops_analytic": round(
+                fcost.get("flops", 0.0) / 1e12, 3),
+            "flood_hbm_gb_analytic": round(
+                dcost.get("bytes accessed", 0.0) / 1e9, 2),
+            "flood_hbm_frac_of_peak": _hbm_frac(
+                dcost.get("bytes accessed"),
+                max(stages["decode_flood"] - sync_ms, 1e-6)),
+        },
         # sync RTT >100 ms means heavy ambient tunnel contention: the
         # net-of-sync stage times (and thus the MP/s) are then unreliable
         "contended": bool(sync_ms > 100.0),
@@ -329,6 +384,8 @@ def main_flow(H: int = 2048):
     compute_ms = sum(max(v - sync_ms, 0.0) for k, v in stages.items()
                      if k != "sync_overhead")
     mps = round(mp / max(compute_ms, 1e-6) * 1e3, 2)
+    fcost = _cost_analysis(fwd, params, x)
+    dcost = _cost_analysis(decode_flow, flow_d, prob_d)  # already jitted
     print(json.dumps({
         "metric": "flow_pipeline_throughput",
         "value": mps,
@@ -336,6 +393,17 @@ def main_flow(H: int = 2048):
         "vs_baseline": round(mps / 0.1, 2),
         "instances_decoded": n_instances,
         "stage_ms_at_4.2MP": stages,
+        "mfu": _mfu(fcost.get("flops"),
+                    max(stages["forward"] - sync_ms, 1e-6)),
+        "roofline": {
+            "forward_tflops_analytic": round(
+                fcost.get("flops", 0.0) / 1e12, 3),
+            "track_hbm_gb_analytic": round(
+                dcost.get("bytes accessed", 0.0) / 1e9, 2),
+            "track_hbm_frac_of_peak": _hbm_frac(
+                dcost.get("bytes accessed"),
+                max(stages["decode_track"] - sync_ms, 1e-6)),
+        },
         "contended": bool(sync_ms > 100.0),
     }))
     return 0
@@ -384,6 +452,10 @@ def main_train(batch: int = 8, steps: int = 30):
     dt = time.perf_counter() - t0
     steps_s = steps / dt
     px_s = steps_s * batch * 256 * 256
+    # analytic FLOPs of the whole jitted step (aug + fwd + bwd + AdamW)
+    # vs the v5e bf16 peak (VERDICT r3 item 3). Wall-clock per step here
+    # includes dispatch, so this MFU is a lower bound on device MFU.
+    scost = _cost_analysis(step, state, imgs, lbls, key)
     print(json.dumps({
         "metric": "train_step_throughput_3class",
         "value": round(px_s / 1e6, 3),
@@ -391,6 +463,8 @@ def main_train(batch: int = 8, steps: int = 30):
                  "aug+fwd+bwd+AdamW)"),
         "vs_baseline": None,  # reference publishes no steps/s
         "steps_per_sec": round(steps_s, 2),
+        "step_tflops_analytic": round(scost.get("flops", 0.0) / 1e12, 3),
+        "mfu": _mfu(scost.get("flops"), 1e3 / max(steps_s, 1e-9)),
         "final_loss": round(final, 4),
     }))
     return 0
@@ -500,6 +574,22 @@ def main():
     compute_ms = sum(max(v - sync_ms, 0.0) for k, v in stages.items()
                      if k != "sync_overhead")
     compute_mps = round(mp / max(compute_ms, 1e-6) * 1e3, 1)
+
+    # Roofline accounting (VERDICT r3 items 3+5): analytic FLOPs for the
+    # MXU-bound forward → MFU vs the v5e bf16 peak; analytic HBM bytes for
+    # the sort/propagation-bound decode → fraction of the 819 GB/s peak.
+    fcost = _cost_analysis(stage_forward, params, x)
+    dcost = _cost_analysis(stage_decode, fwd)
+    fwd_net_ms = max(stages.get("forward_softmax", 0.0) - sync_ms, 1e-6)
+    dec_net_ms = max(stages.get("decode", 0.0) - sync_ms, 1e-6)
+    roofline = {
+        "forward_tflops_analytic": round(fcost.get("flops", 0.0) / 1e12, 3),
+        "mfu_forward": _mfu(fcost.get("flops"), fwd_net_ms),
+        "decode_hbm_gb_analytic": round(
+            dcost.get("bytes accessed", 0.0) / 1e9, 2),
+        "decode_hbm_frac_of_peak": _hbm_frac(
+            dcost.get("bytes accessed"), dec_net_ms),
+    }
     print(json.dumps({
         "metric": "sliding_window_instance_seg_throughput",
         "value": round(mps, 3),
@@ -509,6 +599,8 @@ def main():
         "instances_decoded": n_instances,
         "stage_ms_at_4.2MP": stages,
         "device_compute_only_mps": compute_mps,
+        "mfu": roofline["mfu_forward"],
+        "roofline": roofline,
         "rates_all_rounds": [round(r, 2) for r in rates],
         "contended": bool(sync_ms > 100.0),
     }))
