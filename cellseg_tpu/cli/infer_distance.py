@@ -106,6 +106,10 @@ def main(argv=None):
         imwrite_instance_tiff(join(args.output_path, stem + "_label.tiff"),
                               labels)
 
+    from ..utils.hbm import maybe_record_hbm
+
+    maybe_record_hbm()  # time_eval device-budget hook (no-op unless asked)
+
 
 if __name__ == "__main__":
     main()

@@ -142,6 +142,10 @@ def main(argv=None):
             imwrite(join(args.output_path, "overlay_" + stem + ".png"),
                     overlay.astype(np.uint8))
 
+    from ..utils.hbm import maybe_record_hbm
+
+    maybe_record_hbm()  # time_eval device-budget hook (no-op unless asked)
+
 
 if __name__ == "__main__":
     main()

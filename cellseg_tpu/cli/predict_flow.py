@@ -50,7 +50,33 @@ def main(argv=None):
                         help="tile size for the tiled path")
     parser.add_argument("--omni", action="store_true",
                         help="omnipose-style suppressed-Euler decode")
+    parser.add_argument("--from_archive", default=None, type=str,
+                        help="install real pretrained weights from a local "
+                             "zip (.ckpt + JSON sidecar, arch-checked) and "
+                             "predict with the first flow model in it — the "
+                             "no-egress analog of the reference's model "
+                             "downloader (KIT-GE download_models.py:24-45)")
     args = parser.parse_args(argv)
+    if args.from_archive:
+        import json as _json
+
+        from .download_data import install_models_from_archive
+
+        target = os.path.join(args.output_path, ".models")
+        installed = install_models_from_archive(args.from_archive, target)
+        flow_ckpts = []
+        for ckpt in installed:
+            sidecar_path = os.path.splitext(ckpt)[0] + ".json"
+            if not os.path.exists(sidecar_path):
+                sidecar_path = os.path.join(os.path.dirname(ckpt),
+                                            "config.json")
+            with open(sidecar_path) as f:
+                if _json.load(f).get("model_name") == "flownet":
+                    flow_ckpts.append(ckpt)
+        if not flow_ckpts:
+            parser.error(f"{args.from_archive}: no flownet checkpoint inside")
+        args.model_path = flow_ckpts[0]
+        print(f"using archive model {args.model_path}")
     if args.model_path is None:
         parser.error("--model_path is required (no bundled checkpoint found)")
 
@@ -98,6 +124,10 @@ def main(argv=None):
         imwrite_instance_tiff(join(args.output_path, stem + "_label.tiff"),
                               labels.astype(np.int32))
         print(f"{name}: {labels.max()} cells, {time.time() - t0:.2f}s")
+
+    from ..utils.hbm import maybe_record_hbm
+
+    maybe_record_hbm()  # time_eval device-budget hook (no-op unless asked)
 
 
 if __name__ == "__main__":

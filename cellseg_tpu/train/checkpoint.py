@@ -65,6 +65,77 @@ def load_sidecar(directory: str) -> dict:
         return json.load(f)
 
 
+def verify_checkpoint_arch(ckpt_path: str, json_path: str | None = None) -> dict:
+    """Arch-check a ``.ckpt`` + JSON-sidecar pair WITHOUT touching a device.
+
+    Rebuilds the model the sidecar declares, shapes its parameter tree via
+    ``jax.eval_shape`` (no FLOPs, no device memory), and structurally
+    compares it against the stored state dict: missing / unexpected
+    parameters and shape mismatches are all collected into one error.
+    This is the import-side validation the reference's model downloader
+    implies (KIT-GE download_models.py:24-45 fetches arch-specific
+    archives; here archives are user-provided, so the check is explicit).
+
+    Returns the parsed sidecar config on success.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models import build_model
+
+    if json_path is None:
+        json_path = os.path.splitext(ckpt_path)[0] + ".json"
+        if not os.path.exists(json_path):
+            json_path = os.path.join(os.path.dirname(ckpt_path), "config.json")
+    with open(json_path) as f:
+        cfg = json.load(f)
+    arch = {k: tuple(v) if isinstance(v, list) else v
+            for k, v in cfg.get("architecture", {}).items()}
+    model = build_model(
+        cfg["model_name"],
+        num_class=cfg.get("num_class", 3),
+        input_size=cfg.get("input_size", 256),
+        dtype=jnp.bfloat16 if cfg.get("dtype") == "bfloat16" else jnp.float32,
+        **arch,
+    )
+    size = cfg.get("input_size", 256)
+    dummy = jax.ShapeDtypeStruct((1, size, size, cfg.get("in_channels", 3)),
+                                 jnp.float32)
+    template = jax.eval_shape(
+        lambda d: model.init(jax.random.PRNGKey(0), d), dummy)
+    want = serialization.to_state_dict(template)
+    got = load_checkpoint(ckpt_path).get("params")
+    if got is None:
+        raise ValueError(f"{ckpt_path}: no 'params' entry in checkpoint")
+
+    problems: list[str] = []
+
+    def walk(w, g, prefix: str) -> None:
+        wk, gk = set(w), set(g)
+        problems.extend(f"missing param {prefix}{k}" for k in sorted(wk - gk))
+        problems.extend(f"unexpected param {prefix}{k}"
+                        for k in sorted(gk - wk))
+        for k in sorted(wk & gk):
+            if isinstance(w[k], dict):
+                if not isinstance(g[k], dict):
+                    problems.append(f"{prefix}{k}: subtree vs leaf")
+                else:
+                    walk(w[k], g[k], f"{prefix}{k}/")
+            else:
+                ws, gs = tuple(w[k].shape), tuple(np.shape(g[k]))
+                if ws != gs:
+                    problems.append(f"{prefix}{k}: sidecar arch wants shape "
+                                    f"{ws}, checkpoint has {gs}")
+
+    walk(want, got, "")
+    if problems:
+        head = "; ".join(problems[:8])
+        more = f" (+{len(problems) - 8} more)" if len(problems) > 8 else ""
+        raise ValueError(
+            f"{ckpt_path}: architecture mismatch vs {json_path}: {head}{more}")
+    return cfg
+
+
 def load_model_for_inference(model_dir: str, checkpoint: str = "best_model.ckpt"):
     """Rebuild (model, params) from a checkpoint directory + sidecar.
 

@@ -91,6 +91,58 @@ def test_time_eval_cli(tmp_path):
 
     df = pd.read_csv(os.path.join(out, "rt.csv"))
     assert len(df) == 1 and bool(df["ok"].iloc[0])
+    # budget-analog columns (cellseg_time_eval.py:69 container -m 28g,
+    # README.md:127 <10 GB device): peak tree RSS is always measured;
+    # the python child above holds >=10 MB RSS at minimum
+    assert df["peak_rss_mb"].iloc[0] > 5.0
+    assert "hbm_peak_mb" in df.columns
+
+
+def test_time_eval_hbm_hook(tmp_path):
+    """The harness exports CELLSEG_RECORD_HBM to the child; a child that
+    drops allocator stats there gets them parsed into the hbm_peak_mb
+    column (device budget analog, README.md:127)."""
+    from cellseg_tpu.cli.time_eval import main as te_main
+    from cellseg_tpu.io import imwrite
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    imwrite(str(imgs / "a.png"), np.zeros((32, 32, 3), np.uint8))
+    cmd = (
+        "python -c \"import sys,shutil,os,json; "
+        "i,o=sys.argv[1],sys.argv[2]; "
+        "[shutil.copy(os.path.join(i,f), os.path.join(o, f.split('.')[0]+'_label.tiff')) "
+        "for f in os.listdir(i)]; "
+        "json.dump({{'peak_bytes_in_use': 512*2**20}}, "  # {{..}}: the
+        # command is a str.format template ({input}/{output} fields)
+        "open(os.environ['CELLSEG_RECORD_HBM'],'w'))\" {input} {output}")
+    out = str(tmp_path / "te")
+    te_main(["-i", str(imgs), "-c", cmd, "-o", out, "-n", "rt"])
+    import pandas as pd
+
+    df = pd.read_csv(os.path.join(out, "rt.csv"))
+    assert df["hbm_peak_mb"].iloc[0] == 512.0
+
+
+def test_maybe_record_hbm_roundtrip(tmp_path, monkeypatch):
+    """maybe_record_hbm writes device allocator stats (or the reason they
+    are unavailable) to the env-named path, and never raises."""
+    import json
+
+    from cellseg_tpu.utils.hbm import maybe_record_hbm
+
+    path = str(tmp_path / "hbm.json")
+    monkeypatch.setenv("CELLSEG_RECORD_HBM", path)
+    maybe_record_hbm()
+    with open(path) as f:
+        rec = json.load(f)
+    # CPU test backend: either real stats or a recorded reason — both
+    # are valid; the contract is the file exists and parses
+    assert "peak_bytes_in_use" in rec or "error" in rec
+    monkeypatch.delenv("CELLSEG_RECORD_HBM")
+    os.remove(path)
+    maybe_record_hbm()  # no env var -> no file, no crash
+    assert not os.path.exists(path)
 
 
 @pytest.mark.slow
@@ -111,3 +163,76 @@ def test_resume_training(tmp_path, bundled_samples):
     res2 = train_3class(TrainConfig(**base, max_epochs=5, resume=ckpt))
     # resumed run continues from epoch 3 → runs epochs 3..4 (2 epochs)
     assert len(res2["epoch_loss"]) == 2
+
+
+def _build_weight_archive(tmp_path, tamper_channels=None):
+    """Zip the bundled pretrained flow model (optionally with a sidecar
+    that lies about the architecture) — a locally-built stand-in for the
+    reference's downloadable model archives."""
+    import json
+    import shutil
+    import zipfile
+
+    assets = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets")
+    src_ckpt = os.path.join(assets, "pretrained_flow.ckpt")
+    src_json = os.path.join(assets, "pretrained_flow.json")
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    shutil.copy(src_ckpt, stage / "flow_model.ckpt")
+    with open(src_json) as f:
+        cfg = json.load(f)
+    if tamper_channels is not None:
+        cfg["architecture"]["channels"] = tamper_channels
+    with open(stage / "flow_model.json", "w") as f:
+        json.dump(cfg, f)
+    archive = str(tmp_path / "weights.zip")
+    with zipfile.ZipFile(archive, "w") as z:
+        z.write(stage / "flow_model.ckpt", "flow_model.ckpt")
+        z.write(stage / "flow_model.json", "flow_model.json")
+    return archive
+
+
+def test_from_archive_install_roundtrip(tmp_path):
+    """--from_archive unpacks a locally-built weights zip and arch-checks
+    every checkpoint against its sidecar (KIT-GE download_models.py:24-45
+    capability, no egress needed — VERDICT r3 item 9)."""
+    from cellseg_tpu.cli.download_data import main as dd_main
+
+    archive = _build_weight_archive(tmp_path)
+    target = str(tmp_path / "models")
+    dd_main(["--from_archive", archive, "--target", target])
+    assert os.path.exists(os.path.join(target, "flow_model.ckpt"))
+
+
+def test_from_archive_rejects_arch_mismatch(tmp_path):
+    """A sidecar that declares a different channel ladder than the stored
+    parameter tree must fail the install with a shape-mismatch message —
+    a silently wrong pretrained model is worse than none."""
+    from cellseg_tpu.cli.download_data import install_models_from_archive
+
+    archive = _build_weight_archive(tmp_path,
+                                    tamper_channels=[16, 32, 64, 128])
+    with pytest.raises(ValueError, match="arch-check|shape"):
+        install_models_from_archive(archive, str(tmp_path / "models"))
+
+
+@pytest.mark.slow
+def test_predict_flow_from_archive_e2e(tmp_path):
+    """predict_flow --from_archive: install from a local zip, then run the
+    installed model end-to-end on a small image through the real CLI."""
+    from cellseg_tpu.cli.predict_flow import main as pf_main
+    from cellseg_tpu.io import imwrite
+
+    rng = np.random.default_rng(0)
+    img = (rng.random((64, 64)) * 40).astype(np.uint8)
+    yy, xx = np.mgrid[0:64, 0:64]
+    img[((yy - 32) ** 2 + (xx - 32) ** 2) <= 12 ** 2] = 200
+    imgs = tmp_path / "in"
+    imgs.mkdir()
+    imwrite(str(imgs / "a.png"), img)
+    out = str(tmp_path / "out")
+    archive = _build_weight_archive(tmp_path)
+    pf_main(["-i", str(imgs), "-o", out, "--from_archive", archive,
+             "--diameter", "off", "--n_iter", "16"])
+    assert os.path.exists(os.path.join(out, "a_label.tiff"))
