@@ -31,35 +31,54 @@ from ..ops.host_morphology import (
 def decode_interior_prob(prob_interior: jax.Array) -> jax.Array:
     """(H, W) interior probability → (H, W) int32 instance labels, on device.
 
-    Fused: the small-object pass's converged 4-conn roots seed the final
-    8-conn labeling (4-conn components are subsets of 8-conn components and
-    roots are component-min indices, so the seeded propagation converges to
-    the identical fixed point in a couple of diagonal-merge sweeps instead
-    of a full pass).
+    Fused region decode: ONE region propagation (ops/cc.py:region_roots)
+    labels the 4-conn components of the mask AND of its complement
+    simultaneously — the hole-fill pass (background components < 64 px)
+    and the object pass share it instead of each paying a full-image
+    propagation. After filling, object components are merged across the
+    filled holes by a warm-started propagation (constituent roots are
+    already component-min indices, so only the ≤63 px hole crossings need
+    resolving — a couple of scan iterations), and the surviving 4-conn
+    roots seed the final 8-conn labeling exactly as before. Bit-parity
+    with the reference chain remove_small_holes(64) → remove_small_objects
+    (16) → label(8-conn) is pinned by tests vs the scipy host golden.
     """
     import jax.numpy as jnp
 
-    from ..ops.cc import (
-        _INF,
-        _propagate,
-        _root_labels,
-        sequential_from_roots,
-        small_component_mask_by_sort,
-    )
+    from ..ops.cc import _INF, _propagate, region_roots, sequential_from_ranks
+    from ..ops.rank_areas import dense_region_ranks, small_mask_guarded
 
     mask = prob_interior > 0.5
-    mask = remove_small_holes_jax(mask, area_threshold=64, connectivity=1)
+    roots = region_roots(mask)
+    # dense ranks make the area filters sort-free: per-rank pixel counts
+    # are an exact MXU one-hot histogram instead of two full-image sorts
+    # (ops/rank_areas.py; guarded sort fallback above 16384 components)
+    dense, r_plane, k_total = dense_region_ranks(
+        roots, mask.astype(jnp.int32))
 
-    # small-object removal, keeping the 4-conn roots for reuse
-    roots4 = _root_labels(mask, connectivity=1)
-    small = small_component_mask_by_sort(
-        roots4.ravel(), mask.ravel(), 16).reshape(mask.shape)
-    mask2 = jnp.logical_and(mask, ~small)
+    # hole fill: background 4-conn components with area < 64
+    inv = jnp.logical_not(mask)
+    small_bg = small_mask_guarded(dense, k_total, inv, 64)
+    filled = jnp.logical_or(mask, small_bg)
 
-    # final 8-conn labeling seeded by the surviving 4-conn roots
-    lab0 = jnp.where(mask2, roots4, _INF)
-    lab = _propagate(lab0, mask2, connectivity=2, max_iters=1024)
-    return sequential_from_roots(lab, mask2, connectivity=2)
+    # merge object components across the filled holes: every constituent
+    # (object comps and filled background comps) carries its own rank, and
+    # ranks are monotone in root index, so min-propagation converges to
+    # the merged component's min-root rank in a few iterations (holes are
+    # < 64 px wide)
+    merged = _propagate(jnp.where(filled, dense, _INF), filled,
+                        connectivity=1, max_iters=1024)
+
+    # small-object removal on the filled mask (areas include filled holes,
+    # matching skimage's ordering)
+    small = small_mask_guarded(merged, k_total, filled, 16)
+    mask2 = jnp.logical_and(filled, ~small)
+
+    # final 8-conn labeling seeded by the surviving merged ranks
+    lab = _propagate(jnp.where(mask2, merged, _INF), mask2,
+                     connectivity=2, max_iters=1024)
+    return sequential_from_ranks(lab, r_plane, roots, mask2,
+                                 connectivity=2)
 
 
 def decode_interior_prob_host(prob_interior: np.ndarray) -> np.ndarray:

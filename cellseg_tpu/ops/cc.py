@@ -129,6 +129,85 @@ def _scan_rows_cols(lab: jax.Array, mask: jax.Array) -> jax.Array:
     return _segmented_min_scan(lab, mask, axis=0)
 
 
+def _region_min_scan(lab: jax.Array, m: jax.Array, axis: int) -> jax.Array:
+    """Propagate the min label across runs of EQUAL m-value along an axis.
+
+    Region variant of _segmented_min_scan: instead of treating unmasked
+    pixels as boundaries, EVERY pixel belongs to a segment — a maximal run
+    of equal `m` values — so object runs and background runs are scanned
+    simultaneously in one pass. Openness between i and i-d means all the
+    m values in [i-d, i] are equal (log-doubling AND-composition).
+    """
+    size = lab.shape[axis]
+    fo = (m == _shift(m, 1, axis, -1))
+    bo = (m == _shift(m, -1, axis, -1))
+    fv, bv = lab, lab
+    d = 1
+    while d < size:
+        fv = jnp.where(fo, jnp.minimum(fv, _shift(fv, d, axis, _INF_I)), fv)
+        fo = jnp.logical_and(fo, _shift(fo, d, axis, False))
+        bv = jnp.where(bo, jnp.minimum(bv, _shift(bv, -d, axis, _INF_I)), bv)
+        bo = jnp.logical_and(bo, _shift(bo, -d, axis, False))
+        d *= 2
+    return jnp.minimum(fv, bv)
+
+
+def _scan_rows_cols_region(lab: jax.Array, m: jax.Array) -> jax.Array:
+    """Row then column REGION min-scans (Pallas VMEM kernels when gated)."""
+    from .pallas.scans import (
+        col_segmented_min_scan,
+        row_segmented_min_scan,
+        scans_supported,
+    )
+
+    h, w = lab.shape
+    if scans_supported(h, w):
+        lab = row_segmented_min_scan(lab, m, region=True)
+        return col_segmented_min_scan(lab, m, region=True)
+    lab = _region_min_scan(lab, m, axis=1)
+    return _region_min_scan(lab, m, axis=0)
+
+
+def _propagate_region(lab: jax.Array, m: jax.Array,
+                      max_iters: int = 1024) -> jax.Array:
+    """Label propagation to the fixed point over EQUAL-m regions (4-conn).
+
+    Same monotone fixed-point certificate as _propagate: body(S) == S
+    forces the row/col region scans to be identities, i.e. every
+    horizontal/vertical neighbor with the same m value already shares the
+    pixel's label — exact 4-conn convergence for every region at once.
+    """
+
+    def body(state):
+        lab, _, it = state
+        new = _scan_rows_cols_region(lab, m)
+        return new, jnp.any(new != lab), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return jnp.logical_and(changed, it < max_iters)
+
+    state = jax.lax.while_loop(
+        cond, body, (lab, jnp.bool_(True), jnp.int32(0)))
+    return state[0]
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def region_roots(mask: jax.Array, max_iters: int = 1024) -> jax.Array:
+    """4-conn component roots of BOTH the mask and its complement, fused.
+
+    One propagation labels every pixel with the min linear index of its
+    4-conn equal-mask-value component — the object components AND the
+    background components in a single full-image pass (the label plane is
+    full-image-sized either way, so fusing the two halves the propagation
+    HBM traffic vs back-to-back _root_labels(mask) + _root_labels(~mask);
+    this is the hole-fill + object-filter decode's hot pair).
+    """
+    h, w = mask.shape
+    lin = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    return _propagate_region(lin, mask.astype(jnp.int32), max_iters)
+
+
 def _cheap_body(lab: jax.Array, mask: jax.Array,
                 connectivity: int) -> jax.Array:
     """One cheap propagation iteration: (leading 3×3 sweep for 8-conn) +
@@ -239,6 +318,29 @@ def sequential_from_roots(lab: jax.Array, mask: jax.Array,
                               mask.ravel())
     seq = jnp.cumsum(is_root.astype(jnp.int32))
     val0 = jnp.where(is_root, seq, _INF).reshape(h, w)
+    out = _propagate(val0, mask, connectivity, max_iters=1024)
+    return jnp.where(mask, out, 0)
+
+
+def sequential_from_ranks(lab_ranks: jax.Array, r_plane: jax.Array,
+                          roots: jax.Array, mask: jax.Array,
+                          connectivity: int = 2) -> jax.Array:
+    """Sequential 1..K relabel when the converged plane holds DENSE RANKS
+    (rank_areas flow) instead of linear root indices.
+
+    A pixel is its final component's representative iff it is a region
+    root (roots == linear index) whose own rank won the merge
+    (lab_ranks == r_plane there). Ranks are monotone in the root's linear
+    index, so raster order of representatives reproduces skimage
+    first-encounter label order exactly — same argument as
+    sequential_from_roots, one seeded flood.
+    """
+    h, w = mask.shape
+    lin = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    is_rep = jnp.logical_and(mask, jnp.logical_and(roots == lin,
+                                                   lab_ranks == r_plane))
+    seq = jnp.cumsum(is_rep.ravel().astype(jnp.int32)).reshape(h, w)
+    val0 = jnp.where(is_rep, seq, _INF)
     out = _propagate(val0, mask, connectivity, max_iters=1024)
     return jnp.where(mask, out, 0)
 

@@ -39,12 +39,18 @@ def _doubling_steps(size: int):
     return out
 
 
-def _segscan_vmem(lab, mask, axis: int, size: int):
+def _segscan_vmem(lab, mask, axis: int, size: int, region: bool = False):
     """Full segmented min-scan along `axis` on VMEM-resident blocks.
 
     lab: int32 with _INF outside mask; mask: int32 0/1. Identical math to
     ops/cc.py:_segmented_min_scan with the shifts done as static pads
     (Pallas TPU has no dynamic_slice on VMEM values).
+
+    region=True switches to REGION semantics (ops/cc.py:_region_min_scan):
+    segments are maximal runs of EQUAL mask value (so background runs are
+    segments too, not boundaries), and every pixel receives its segment
+    min. Openness is seeded from adjacent-pair equality instead of the
+    mask and the result is not masked out.
     """
     h, w = lab.shape
 
@@ -65,22 +71,33 @@ def _segscan_vmem(lab, mask, axis: int, size: int):
                 sl = (slice(None), slice(-d, -d + w))
         return jnp.pad(arr, pad, constant_values=fill)[sl]
 
-    fv, fo = lab, mask
-    bv, bo = lab, mask
+    if region:
+        # open between i and i-1 iff equal mask values; -1 fill can never
+        # equal a 0/1 mask entry, so edges start closed
+        fo = (mask == shift(mask, 1, -1)).astype(jnp.int32)
+        bo = (mask == shift(mask, -1, -1)).astype(jnp.int32)
+    else:
+        fo = bo = mask
+    fv, bv = lab, lab
     for d in _doubling_steps(size):
         fv = jnp.where(fo != 0, jnp.minimum(fv, shift(fv, d, _INF_I)), fv)
         fo = fo & shift(fo, d, 0)
         bv = jnp.where(bo != 0, jnp.minimum(bv, shift(bv, -d, _INF_I)), bv)
         bo = bo & shift(bo, -d, 0)
-    return jnp.where(mask != 0, jnp.minimum(fv, bv), jnp.int32(_INF_I))
+    out = jnp.minimum(fv, bv)
+    if region:
+        return out
+    return jnp.where(mask != 0, out, jnp.int32(_INF_I))
 
 
-def _row_kernel(lab_ref, mask_ref, out_ref, *, w: int):
-    out_ref[:] = _segscan_vmem(lab_ref[:], mask_ref[:], axis=1, size=w)
+def _row_kernel(lab_ref, mask_ref, out_ref, *, w: int, region: bool = False):
+    out_ref[:] = _segscan_vmem(lab_ref[:], mask_ref[:], axis=1, size=w,
+                               region=region)
 
 
-def _col_kernel(lab_ref, mask_ref, out_ref, *, h: int):
-    out_ref[:] = _segscan_vmem(lab_ref[:], mask_ref[:], axis=0, size=h)
+def _col_kernel(lab_ref, mask_ref, out_ref, *, h: int, region: bool = False):
+    out_ref[:] = _segscan_vmem(lab_ref[:], mask_ref[:], axis=0, size=h,
+                               region=region)
 
 
 def _row_stripe(h: int, w: int):
@@ -110,13 +127,14 @@ def scans_supported(h: int, w: int) -> bool:
             and _col_supported(h, w))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "region"))
 def row_segmented_min_scan(lab: jax.Array, mask: jax.Array,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           region: bool = False) -> jax.Array:
     """Segmented min-scan along rows (axis=1), whole rows in VMEM."""
     h, w = lab.shape
     stripe = _row_stripe(h, w)
-    kernel = functools.partial(_row_kernel, w=w)
+    kernel = functools.partial(_row_kernel, w=w, region=region)
     return pl.pallas_call(
         kernel,
         grid=(h // stripe,),
@@ -130,13 +148,14 @@ def row_segmented_min_scan(lab: jax.Array, mask: jax.Array,
     )(lab, mask.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "region"))
 def col_segmented_min_scan(lab: jax.Array, mask: jax.Array,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           region: bool = False) -> jax.Array:
     """Segmented min-scan along columns (axis=0), whole columns in VMEM."""
     h, w = lab.shape
     cstripe = 128
-    kernel = functools.partial(_col_kernel, h=h)
+    kernel = functools.partial(_col_kernel, h=h, region=region)
     return pl.pallas_call(
         kernel,
         grid=(w // cstripe,),

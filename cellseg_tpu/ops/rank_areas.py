@@ -1,0 +1,154 @@
+"""Sort-free per-component areas via dense ranks + MXU histograms.
+
+The decode's area filters (hole fill < 64 px, object filter < 16 px,
+reference chain baseline/predict.py:110-113) were sort-based: two full-
+image sort passes per filter (~11 ms each at 4.2 MP on v5e). This module
+replaces them with matmul-shaped primitives that ride the MXU:
+
+1. Dense component ranks WITHOUT a gather or sort: with ``R[i] =
+   cumsum(is_root)[i]`` (the prefix count of component roots), R is
+   non-decreasing in the linear index, so the min of R over a component
+   is attained at the component's root — i.e. ``min_{i in C} R[i] =
+   R[root(C)] = rank of C``. One region min-propagation of the R plane
+   therefore yields every pixel's dense component rank in [1, K].
+
+2. Per-rank pixel counts as an exact one-hot einsum histogram
+   (hi/lo-decomposed 128x128 bins, f32 MXU accumulation summed in int32
+   per <=2^23-pixel group — the same exactness recipe as
+   pipeline/normalize.py:_histogram_256), instead of a sort pair.
+
+3. The per-pixel smallness decision as a bilinear one-hot lookup
+   ``flag[n] = oh_hi[n] @ S @ oh_lo[n]`` (two MXU contractions), instead
+   of the unsort pass.
+
+Ranks above _RANK_BINS (16384) would alias, so callers guard with
+``lax.cond(K <= _RANK_BINS, hist_path, sort_path)`` — the sort path is
+the round-3 machinery and stays bit-identical.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_RANK_BINS = 16384
+_SIDE = 128  # _RANK_BINS == _SIDE * _SIDE
+_GROUP = 1 << 23  # f32 one-hot accumulation stays exact below 2^24
+
+
+def _mxu_dtype():
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - no backend
+        platform = "cpu"
+    # bf16 operands are exact for 0/1 one-hots and the MXU accumulates in
+    # f32; on CPU f32 operands are the fast exact path
+    return jnp.bfloat16 if platform in ("tpu", "axon") else jnp.float32
+
+
+def dense_region_ranks(roots: jax.Array, m: jax.Array):
+    """Per-pixel dense component rank from a converged region-root plane.
+
+    roots: ops/cc.py:region_roots output (component-min linear indices for
+    every pixel); m: the int32 region plane the roots were computed with.
+    Returns (dense ranks in [1, K] as int32 plane, R prefix-rank plane,
+    K = total number of regions, scalar int32).
+    """
+    from .cc import _propagate_region
+
+    h, w = roots.shape
+    lin = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    is_root = roots == lin
+    r_plane = jnp.cumsum(is_root.ravel().astype(jnp.int32)).reshape(h, w)
+    k_total = r_plane[-1, -1]
+    dense = _propagate_region(r_plane, m)
+    return dense, r_plane, k_total
+
+
+def counts_by_rank(dense0: jax.Array, weight: jax.Array) -> jax.Array:
+    """Exact count of weight-true pixels per rank — (16384,) int32.
+
+    dense0: 0-based ranks (any shape, int32, values < 16384 for exact
+    results); weight: bool same shape. One-hot hi/lo einsum on the MXU,
+    f32-accumulated per <=2^23-pixel group, int32-summed across groups.
+    """
+    dt = _mxu_dtype()
+    d = dense0.ravel()
+    wt = weight.ravel()
+    n = d.shape[0]
+    if n <= _GROUP:
+        groups = 1  # no padding below the exactness bound
+    else:
+        groups = -(-n // _GROUP)
+        pad = groups * _GROUP - n
+        if pad:
+            d = jnp.pad(d, (0, pad))
+            wt = jnp.pad(wt, (0, pad))
+    d = d.reshape(groups, -1)
+    wt = wt.reshape(groups, -1)
+    iota = jnp.arange(_SIDE, dtype=jnp.int32)
+    oh_hi = ((d // _SIDE)[..., None] == iota).astype(dt)
+    oh_lo = ((d % _SIDE)[..., None] == iota).astype(dt)
+    oh_hi = oh_hi * wt[..., None].astype(dt)
+    per_group = jnp.einsum("gnh,gnl->ghl", oh_hi, oh_lo,
+                           preferred_element_type=jnp.float32)
+    counts = per_group.astype(jnp.int32).sum(axis=0)
+    return counts.reshape(-1)
+
+
+def rank_flag_lookup(dense0: jax.Array, flags: jax.Array) -> jax.Array:
+    """Per-pixel bool flags[dense0] without a gather.
+
+    flags: (16384,) bool table. Bilinear one-hot contraction
+    ``oh_hi @ S @ oh_lo`` — both stages are exact in bf16 (0/1 values,
+    one nonzero per one-hot row).
+    """
+    dt = _mxu_dtype()
+    shape = dense0.shape
+    d = dense0.ravel()
+    iota = jnp.arange(_SIDE, dtype=jnp.int32)
+    oh_hi = ((d // _SIDE)[:, None] == iota).astype(dt)
+    oh_lo = ((d % _SIDE)[:, None] == iota).astype(dt)
+    s = flags.reshape(_SIDE, _SIDE).astype(dt)
+    picked = jnp.einsum("nh,hl->nl", oh_hi, s,
+                        preferred_element_type=jnp.float32)
+    out = jnp.einsum("nl,nl->n", picked.astype(dt), oh_lo,
+                     preferred_element_type=jnp.float32)
+    return (out > 0.5).reshape(shape)
+
+
+def small_mask_by_rank_hist(dense: jax.Array, domain: jax.Array,
+                            threshold: int) -> jax.Array:
+    """domain-pixels whose component (by dense rank) has < threshold
+    domain-pixels. dense: 1-based ranks (valid ranks < 16385)."""
+    dense0 = jnp.maximum(dense - 1, 0)
+    counts = counts_by_rank(dense0, domain)
+    return jnp.logical_and(domain,
+                           rank_flag_lookup(dense0, counts < threshold))
+
+
+def small_mask_by_rank_sort(dense: jax.Array, domain: jax.Array,
+                            threshold: int) -> jax.Array:
+    """Sort-based fallback with identical semantics (any K)."""
+    from .cc import _INF, small_component_mask_by_sort
+
+    ids = jnp.where(domain, dense, _INF)
+    return small_component_mask_by_sort(
+        ids.ravel(), domain.ravel(), threshold).reshape(domain.shape)
+
+
+def small_mask_guarded(dense: jax.Array, k_total: jax.Array,
+                       domain: jax.Array, threshold: int) -> jax.Array:
+    """Histogram path when every rank fits the 16384-bin budget, else the
+    bit-identical sort path (lax.cond: one branch executes per call).
+
+    The one-hot einsums only pay off where they ride the MXU; on CPU/GPU
+    hosts (the test mesh) the sort path is used unconditionally — the
+    hist path itself is pinned by tests/test_rank_areas.py directly."""
+    if _mxu_dtype() is not jnp.bfloat16:
+        return small_mask_by_rank_sort(dense, domain, threshold)
+    return jax.lax.cond(
+        k_total <= _RANK_BINS,
+        lambda d, dom: small_mask_by_rank_hist(d, dom, threshold),
+        lambda d, dom: small_mask_by_rank_sort(d, dom, threshold),
+        dense, domain)

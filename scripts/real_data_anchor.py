@@ -153,9 +153,18 @@ def decode_delta_f1(model_dir: str, test_images: str) -> dict:
     for name in list_images(test_images):
         img = np.asarray(imread(os.path.join(test_images, name)))
         border, cell = pred.predict_raw(img)
+        # same seed-decay rescue as decode_distance (weak models need
+        # lower th_seed before any marker appears; a single fixed-th pass
+        # yields zero seeds -> a vacuous 0/0 comparison)
+        th = 0.45
         cell_s, mask, seeds = _seeds_and_mask(
             jnp.asarray(cell), jnp.asarray(border),
-            jnp.float32(0.07), jnp.float32(0.45))
+            jnp.float32(0.07), jnp.float32(th))
+        while int(jax.device_get(jnp.max(seeds))) == 0 and th > 0.05:
+            th -= 0.1
+            cell_s, mask, seeds = _seeds_and_mask(
+                jnp.asarray(cell), jnp.asarray(border),
+                jnp.float32(0.07), jnp.float32(th), rescue=True)
         dev = np.asarray(jax.device_get(
             watershed_jax(-cell_s, seeds, mask)))
         host = watershed_host(np.asarray(jax.device_get(-cell_s)),
@@ -163,10 +172,12 @@ def decode_delta_f1(model_dir: str, test_images: str) -> dict:
                               np.asarray(jax.device_get(mask)))
         m = np.asarray(jax.device_get(mask))
         agree = float((dev[m] == host[m]).mean()) if m.any() else 1.0
+        n_inst = int(np.asarray(jax.device_get(jnp.max(seeds))))
         tp, fp, fn = eval_tp_fp_fn(host, dev, threshold=0.5)
-        f1 = 2 * tp / max(2 * tp + fp + fn, 1)
+        f1 = 2 * tp / max(2 * tp + fp + fn, 1) if n_inst else 1.0
         out[name] = {"pixel_agreement_in_mask": agree,
-                     "instance_f1_dev_vs_host": f1}
+                     "instance_f1_dev_vs_host": f1,
+                     "n_instances": n_inst}
     return out
 
 
@@ -207,7 +218,7 @@ def eval_pipelines(rot: str, train: str, test: str, args,
         if not os.path.exists(os.path.join(model_dir, "best_model.ckpt")):
             run([sys.executable, "-m", "cellseg_tpu.cli.train_distance",
                  "--data_path", train, "--work_dir", wd,
-                 "--crop_size", "256",
+                 "--crop_size", str(args.crop_dist),
                  "--max_epochs", str(args.epochs_dist)])
         seg = os.path.join(rot, "segd")
         run([sys.executable, "-m", "cellseg_tpu.cli.infer_distance",
@@ -225,6 +236,9 @@ def main():
     p.add_argument("--mode", choices=["patch", "loo"], default="patch")
     p.add_argument("--epochs3c", type=int, default=300)
     p.add_argument("--epochs_dist", type=int, default=320)
+    p.add_argument("--crop_dist", type=int, default=256,
+                   help="distance trainset crop size; 128 yields ~4x more "
+                        "crops from the tiny 9-patch anchor corpus")
     p.add_argument("--pipelines", nargs="+", default=["3class", "distance"])
     p.add_argument("--rotations", nargs="+", default=NAMES)
     args = p.parse_args()
@@ -232,6 +246,14 @@ def main():
     results = {"3class": {}, "3class_watershed": {},
                "3class_watershed_tta": {}, "distance": {},
                "decode_delta": {}}
+    # partial reruns (e.g. --pipelines distance after a 3class run) merge
+    # into the existing record instead of erasing the other pipelines
+    prev = os.path.join(args.out, "anchor.json")
+    if os.path.exists(prev):
+        with open(prev) as f:
+            for k, v in json.load(f).items():
+                if isinstance(v, dict):
+                    results.setdefault(k, {}).update(v)
     if args.mode == "patch":
         train, test = stage_patch_holdout(args.out)
         rot = os.path.dirname(train)

@@ -143,3 +143,29 @@ def test_coarse_seeded_roots_match_plain():
                                              coarse_seed=True))
             np.testing.assert_array_equal(plain, seeded,
                                           err_msg=f"mask {i} conn {conn}")
+
+
+def test_region_roots_matches_both_domains():
+    """One fused region propagation == _root_labels on the mask AND on its
+    complement (roots are component-min linear indices in both)."""
+    from cellseg_tpu.ops.cc import _INF_I, _root_labels, region_roots
+
+    rng = np.random.RandomState(7)
+    for p in (0.1, 0.35, 0.6, 0.9):
+        mask = rng.rand(96, 128) < p
+        roots = np.asarray(region_roots(mask))
+        want_fg = np.asarray(_root_labels(mask, connectivity=1))
+        want_bg = np.asarray(_root_labels(~mask, connectivity=1))
+        np.testing.assert_array_equal(
+            np.where(mask, roots, _INF_I), want_fg, err_msg=f"fg p={p}")
+        np.testing.assert_array_equal(
+            np.where(~mask, roots, _INF_I), want_bg, err_msg=f"bg p={p}")
+
+
+def test_region_roots_uniform_mask():
+    from cellseg_tpu.ops.cc import region_roots
+
+    for val in (False, True):
+        mask = np.full((32, 64), val)
+        roots = np.asarray(region_roots(mask))
+        np.testing.assert_array_equal(roots, np.zeros((32, 64), np.int32))

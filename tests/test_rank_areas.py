@@ -1,0 +1,65 @@
+"""rank_areas: sort-free dense ranks / per-rank histograms / lookups."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from cellseg_tpu.ops.cc import region_roots  # noqa: E402
+from cellseg_tpu.ops.rank_areas import (  # noqa: E402
+    counts_by_rank,
+    dense_region_ranks,
+    rank_flag_lookup,
+    small_mask_by_rank_hist,
+    small_mask_by_rank_sort,
+    small_mask_guarded,
+)
+
+
+def test_counts_by_rank_matches_bincount():
+    rng = np.random.default_rng(0)
+    d = rng.integers(0, 16384, (400, 300)).astype(np.int32)
+    w = rng.random((400, 300)) < 0.6
+    got = np.asarray(counts_by_rank(jnp.asarray(d), jnp.asarray(w)))
+    want = np.bincount(d[w].ravel(), minlength=16384)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rank_flag_lookup_matches_indexing():
+    rng = np.random.default_rng(1)
+    d = rng.integers(0, 16384, (256, 256)).astype(np.int32)
+    flags = rng.random(16384) < 0.5
+    got = np.asarray(rank_flag_lookup(jnp.asarray(d), jnp.asarray(flags)))
+    np.testing.assert_array_equal(got, flags[d])
+
+
+def test_dense_region_ranks_structure():
+    rng = np.random.default_rng(2)
+    mask = rng.random((96, 128)) < 0.45
+    roots = region_roots(mask)
+    dense, r_plane, k = dense_region_ranks(
+        roots, jnp.asarray(mask.astype(np.int32)))
+    dense, roots_np = np.asarray(dense), np.asarray(roots)
+    k = int(k)
+    # ranks are a bijection root -> 1..K preserving raster order of roots
+    uniq_roots = np.unique(roots_np)
+    assert k == uniq_roots.size
+    rank_of = {r: i + 1 for i, r in enumerate(uniq_roots)}
+    want = np.vectorize(rank_of.get)(roots_np)
+    np.testing.assert_array_equal(dense, want)
+
+
+@pytest.mark.parametrize("threshold", [4, 64])
+def test_small_mask_hist_matches_sort(threshold):
+    rng = np.random.default_rng(3)
+    mask = rng.random((128, 128)) < 0.5
+    roots = region_roots(mask)
+    dense, _, k = dense_region_ranks(roots, jnp.asarray(mask.astype(np.int32)))
+    for domain in (mask, ~mask):
+        dom = jnp.asarray(domain)
+        h = np.asarray(small_mask_by_rank_hist(dense, dom, threshold))
+        s = np.asarray(small_mask_by_rank_sort(dense, dom, threshold))
+        g = np.asarray(small_mask_guarded(dense, k, dom, threshold))
+        np.testing.assert_array_equal(h, s)
+        np.testing.assert_array_equal(g, s)
