@@ -206,6 +206,13 @@ def _run_guarded(fn, metric: str, kw: dict, inject: str | None,
                 _WATCHDOG_TIMER.cancel()
             env = dict(os.environ)
             env["CELLSEG_BENCH_ATTEMPT"] = "2"
+            # a crashed TPU worker takes minutes to restart; retrying into
+            # the still-down backend just burns the one retry (observed on
+            # the axon tunnel). Probe with short-lived subprocesses until a
+            # trivial op completes (or the recovery budget is spent), THEN
+            # launch the retry. Injected test faults skip the wait.
+            if not isinstance(e, _InjectedFault):
+                _wait_for_backend_recovery(env)
             print("device fault — retrying once in a fresh process",
                   file=sys.stderr, flush=True)
             try:
@@ -228,6 +235,42 @@ def _run_guarded(fn, metric: str, kw: dict, inject: str | None,
                 err += " (retry timed out)"
         _error_line(metric, f"{err} | {tb_tail}")
         return 2
+
+
+def _wait_for_backend_recovery(env: dict, budget_s: float = 600.0,
+                               probe_timeout_s: float = 90.0,
+                               sleep_s: float = 30.0) -> bool:
+    """Poll the device backend in short-lived subprocesses until a trivial
+    jitted op completes; give up after `budget_s`. Each probe is its own
+    interpreter (a crashed worker wedges in-process handles), bounded by
+    `probe_timeout_s` so a hung tunnel can't stall the watchdog-less
+    retry path forever. Returns True if a probe succeeded."""
+    import subprocess
+
+    probe_src = ("import jax, jax.numpy as jnp;"
+                 "x = jnp.ones((128, 128));"
+                 "print(float((x @ x).sum()))")
+    deadline = time.time() + budget_s
+    attempt = 0
+    while time.time() < deadline:
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", probe_src], env=env,
+                timeout=probe_timeout_s, capture_output=True, text=True)
+            if proc.returncode == 0:
+                print(f"backend probe ok (attempt {attempt})",
+                      file=sys.stderr, flush=True)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"backend probe {attempt} failed; sleeping {sleep_s:.0f}s "
+              f"({deadline - time.time():.0f}s of recovery budget left)",
+              file=sys.stderr, flush=True)
+        time.sleep(min(sleep_s, max(deadline - time.time(), 0)))
+    print("backend recovery budget spent — retrying anyway",
+          file=sys.stderr, flush=True)
+    return False
 
 
 def main_selftest() -> int:

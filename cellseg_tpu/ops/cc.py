@@ -43,11 +43,9 @@ def _fused_sweeps_config(h: int, w: int):
     the scoped-VMEM stack; cap that at ~12 MB. Wider images get smaller
     stripes/k; beyond the budget the caller falls back to plain sweeps.
     """
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:
-        return None
-    if platform not in ("tpu", "axon"):
+    from .pallas.gate import pallas_allowed
+
+    if not pallas_allowed():
         return None
     if w % 128 != 0:
         return None

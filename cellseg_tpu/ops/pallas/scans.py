@@ -117,11 +117,9 @@ def _col_supported(h: int, w: int):
 
 def scans_supported(h: int, w: int) -> bool:
     """Both kernels applicable (callers fall back to XLA otherwise)."""
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:  # pragma: no cover - no backend
-        return False
-    if platform not in ("tpu", "axon"):
+    from .gate import pallas_allowed
+
+    if not pallas_allowed():
         return False
     return (w % 128 == 0 and h % 8 == 0 and _row_stripe(h, w) is not None
             and _col_supported(h, w))

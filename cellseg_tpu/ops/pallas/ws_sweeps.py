@@ -159,11 +159,9 @@ def ws_sweeps_config(h: int, w: int):
     VMEM budget: ~12 live (stripe+2k, w) 4-byte blocks (5 planes + padded
     copies + accumulators inside the relaxation); cap at ~14 MB.
     """
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:  # pragma: no cover - no backend at all
-        return None
-    if platform not in ("tpu", "axon"):
+    from .gate import pallas_allowed
+
+    if not pallas_allowed():
         return None
     if w % 128 != 0:
         return None
