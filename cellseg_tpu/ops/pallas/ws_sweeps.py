@@ -44,7 +44,11 @@ def _relax_vmem(cost, hops, label, e, mask):
         nh = ph[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
         nl = plb[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
         cand = jnp.maximum(nc, e)
-        cand_h = jnp.where(nh == _INF_HOPS, _INF_HOPS, nh + 1)
+        # steps-at-max-level hop count (reset on climb), mirroring
+        # ops/watershed.py relax_once — the two bodies must stay
+        # bit-identical for the k-fold parity tests
+        cand_h = jnp.where(nh == _INF_HOPS, _INF_HOPS,
+                           jnp.where(e > nc, 1, nh + 1))
         cost_eq = cand == new_cost
         better = jnp.logical_or(
             cand < new_cost,

@@ -47,7 +47,14 @@ def relax_once(cost, hops, label, e, mask):
         nh = _shift2(hops, dy, dx, _INF_HOPS)
         nl = _shift2(label, dy, dx, 0)
         cand = jnp.maximum(nc, e)  # minimax path cost through neighbor
-        cand_h = jnp.where(nh == _INF_HOPS, _INF_HOPS, nh + 1)
+        # hops count steps AT the path's current max level: a climb to a
+        # new max (e > nc) resets the count — in skimage's priority flood
+        # every pixel strictly below the flood level pops before the next
+        # level-e entry, so only the steps at the max level delay arrival
+        # (measured on real trained outputs: 0.67 → 0.87 pixel agreement
+        # with the sequential golden vs the plain geodesic count)
+        cand_h = jnp.where(nh == _INF_HOPS, _INF_HOPS,
+                           jnp.where(e > nc, 1, nh + 1))
         cost_eq = cand == new_cost
         better = jnp.logical_or(
             cand < new_cost,
@@ -74,15 +81,18 @@ def watershed_jax(image: jax.Array, markers: jax.Array, mask: jax.Array,
     mask: (H, W) bool region to label
     Returns (H, W) int32 labels.
 
-    Path cost is lexicographic (minimax elevation, path length, marker id).
-    The path-length key models skimage's (value, insertion-age) heap order
-    on plateaus: under uniform flood speed the global insertion age of a
-    pixel tracks the number of relaxation waves since its marker, so on a
-    flat or quantized region (bf16 outputs are full of these) each pixel
-    goes to the geodesically-first-arriving marker instead of wholesale to
-    the smallest marker id. Exact-tie residue (equal cost AND equal path
-    length) falls back to smallest marker id — a measure-zero frontier one
-    pixel wide.
+    Path cost is lexicographic (minimax elevation, steps at that maximum,
+    marker id). The second key models skimage's (value, insertion-age)
+    heap order: in a priority flood every queued pixel strictly below the
+    current level pops before the next entry AT the level, so a path's
+    arrival is delayed only by its steps at its maximum elevation — the
+    count resets whenever the path climbs to a new max. On a flat or
+    quantized region (bf16 outputs are full of these) this reduces to the
+    geodesic first-arrival rule; across mixed real terrain it tracks the
+    sequential golden much closer than a whole-path geodesic count
+    (0.87 vs 0.67 pixel agreement on a trained model's dense real-data
+    output). Exact-tie residue (equal cost AND equal count) falls back to
+    smallest marker id — a measure-zero frontier one pixel wide.
     """
     e = jnp.where(mask, image.astype(jnp.float32), _BIG)
     seeded = markers > 0
