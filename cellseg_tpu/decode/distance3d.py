@@ -59,9 +59,9 @@ def watershed3d_host(image: np.ndarray, markers: np.ndarray,
     """Vectorized minimax-path watershed in 3D (26-neighborhood).
 
     Each masked voxel is assigned to the marker with the lexicographically
-    smallest (minimax pass-height, path length, marker id) key — the same
-    first-arrival plateau semantics as the 2D device watershed
-    (ops/watershed.py): the path-length plane splits equal-elevation
+    smallest (minimax pass-height, steps at that maximum, marker id) key —
+    the same first-arrival plateau semantics as the 2D device watershed
+    (ops/watershed.py): the step-count plane splits equal-elevation
     plateaus geodesically between markers and protects seed voxels
     (a seed has hops 0; any rival front arrives with hops ≥ 1 and a cost
     ≥ the seed's own elevation, so seeds are never relabeled — matching
@@ -94,7 +94,10 @@ def watershed3d_host(image: np.ndarray, markers: np.ndarray,
             nh = ph[1 + dz:1 + dz + nz, 1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
             nl = pl[1 + dz:1 + dz + nz, 1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
             cand = np.maximum(nc, e)  # minimax path cost through neighbor
-            cand_h = np.where(nh == inf_hops, inf_hops, nh + 1)
+            # steps-at-max-level count (reset on climb), matching the 2D
+            # device watershed's flood-order model (ops/watershed.py)
+            cand_h = np.where(nh == inf_hops, inf_hops,
+                              np.where(e > nc, np.int64(1), nh + 1))
             cost_eq = cand == new_cost
             better = (cand < new_cost) | (cost_eq & (
                 (cand_h < new_hops)
