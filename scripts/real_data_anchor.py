@@ -220,12 +220,33 @@ def eval_pipelines(rot: str, train: str, test: str, args,
                  "--data_path", train, "--work_dir", wd,
                  "--crop_size", str(args.crop_dist),
                  "--max_epochs", str(args.epochs_dist)])
+        # KIT-GE workflow parity: the reference never ships raw defaults —
+        # eval.py grid-sweeps th_seed x th_cell on labeled data and submits
+        # the winner (eval.py:140-243, utils.get_best_model). Sweep on the
+        # TRAIN patches (the held-out quadrants stay unseen) and infer the
+        # test patches with the winning setting.
+        sweep_dir = os.path.join(rot, "sweep")
+        run([sys.executable, "-m", "cellseg_tpu.cli.eval_distance",
+             "--data_path", train, "--model_path", model_dir,
+             "--th_seed", "0.35", "0.45", "0.55", "0.65",
+             "--th_cell", "0.07", "0.25", "0.5",
+             "-o", sweep_dir])
+        import pandas as pd
+
+        df = pd.read_csv(os.path.join(sweep_dir, "metrics.csv"))
+        best = df.loc[df["OP_CSB"].idxmax()]
+        th_seed, th_cell = float(best["th_seed"]), float(best["th_cell"])
         seg = os.path.join(rot, "segd")
+        shutil.rmtree(seg, ignore_errors=True)
         run([sys.executable, "-m", "cellseg_tpu.cli.infer_distance",
              "-i", os.path.join(test, "images"), "-o", seg,
-             "--model_path", model_dir])
+             "--model_path", model_dir,
+             "--th_seed", str(th_seed), "--th_cell", str(th_cell)])
         results["distance"][key] = f1_per_case(
             os.path.join(test, "labels"), seg, os.path.join(rot, "md"))
+        results["distance"][key]["th_seed"] = th_seed
+        results["distance"][key]["th_cell"] = th_cell
+        results["distance"][key]["train_OP_CSB"] = float(best["OP_CSB"])
         results["decode_delta"][key] = decode_delta_f1(
             model_dir, os.path.join(test, "images"))
 
