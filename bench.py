@@ -499,6 +499,34 @@ def main_train(batch: int = 8, steps: int = 30):
     # vs the v5e bf16 peak (VERDICT r3 item 3). Wall-clock per step here
     # includes dispatch, so this MFU is a lower bound on device MFU.
     scost = _cost_analysis(step, state, imgs, lbls, key)
+
+    # scan-fused measurement: the dispatch loop above pays one tunnel
+    # round-trip PER step (~110 ms/step measured vs ~1 ms of device
+    # compute), so its MFU reads the link, not the chip. Fusing the same
+    # `steps` steps into ONE lax.scan dispatch removes every per-step
+    # host interaction and measures the device-side training roofline
+    # (fixed batch — the data feed is not what is being measured).
+    # (the original `params` were donated into the dispatch loop's state;
+    # seed the scan from the loop's final live params instead)
+    fresh = TrainState.create(
+        lambda p, x, train=False: model.apply(p, x), state.params, tx)
+    inner = make_train_step(num_classes=3, donate=False)
+
+    @jax.jit
+    def scan_steps(s0, im, lb, k):
+        def body(s, i):
+            s2, loss = inner(s, im, lb, jax.random.fold_in(k, i))
+            return s2, loss
+        return jax.lax.scan(body, s0, jnp.arange(steps))
+
+    s_out, losses = scan_steps(fresh, imgs, lbls, key)
+    float(losses[-1])  # compile + warmup
+    t0 = time.perf_counter()
+    s_out, losses = scan_steps(fresh, imgs, lbls, key)
+    scan_final = float(losses[-1])  # one sync for the whole scan
+    scan_dt = time.perf_counter() - t0
+    scan_steps_s = steps / scan_dt
+
     print(json.dumps({
         "metric": "train_step_throughput_3class",
         "value": round(px_s / 1e6, 3),
@@ -509,6 +537,12 @@ def main_train(batch: int = 8, steps: int = 30):
         "step_tflops_analytic": round(scost.get("flops", 0.0) / 1e12, 3),
         "mfu": _mfu(scost.get("flops"), 1e3 / max(steps_s, 1e-9)),
         "final_loss": round(final, 4),
+        "steps_per_sec_scan_fused": round(scan_steps_s, 2),
+        "mps_scan_fused": round(
+            scan_steps_s * batch * 256 * 256 / 1e6, 3),
+        "mfu_scan_fused": _mfu(scost.get("flops"),
+                               1e3 / max(scan_steps_s, 1e-9)),
+        "final_loss_scan": round(scan_final, 4),
     }))
     return 0
 
