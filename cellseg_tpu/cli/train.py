@@ -46,6 +46,10 @@ def main(argv=None):
     parser.add_argument("--ckpt_interval", default=1, type=int,
                         help="rolling resumable last_model.ckpt every N "
                              "epochs (0 disables)")
+    parser.add_argument("--steps_per_dispatch", default=1, type=int,
+                        help="fuse N train steps into one device dispatch "
+                             "(lax.scan); numerically equivalent, amortizes "
+                             "per-dispatch host round-trips on remote links")
     args = parser.parse_args(argv)
 
     from ..utils.cache import enable_compilation_cache
@@ -69,6 +73,7 @@ def main(argv=None):
         n_devices=args.n_devices,
         resume=args.resume,
         ckpt_interval=args.ckpt_interval,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     train_3class(cfg)
 

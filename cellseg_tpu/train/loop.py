@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..infer.sliding_window import sliding_window_inference
 from ..models import build_model
@@ -58,6 +59,13 @@ class TrainConfig:
     # --resume loses at most ckpt_interval epochs after a crash (reference
     # cadence: every epoch, model_training_3class.py:269-274)
     ckpt_interval: int = 1
+    # >1 fuses K train steps into ONE lax.scan dispatch (numerically
+    # equivalent to K sequential dispatches — same crops, same rng keys,
+    # same update sequence, differing only by float reassociation across
+    # compilation variants); amortizes the per-dispatch host round-trip, which
+    # dominates on tunneled/remote device links (bench.py --pipeline train
+    # measured ~110 ms/dispatch for ~1 ms of device compute)
+    steps_per_dispatch: int = 1
 
 
 def _foreground_dice(pred_onehot: np.ndarray, gt_onehot: np.ndarray) -> float:
@@ -160,6 +168,15 @@ def train_3class(cfg: TrainConfig) -> dict:
         num_classes=cfg.num_class,
         augment=AugmentConfig() if cfg.augment else None,
     )
+    fused_k = max(int(cfg.steps_per_dispatch), 1)
+    fused_fn = None
+    if fused_k > 1:
+        from .steps import make_fused_train_step
+
+        fused_fn = make_fused_train_step(
+            num_classes=cfg.num_class,
+            augment=AugmentConfig() if cfg.augment else None,
+        )
 
     save_sidecar(model_path, {
         "model_name": cfg.model_name,
@@ -182,18 +199,47 @@ def train_3class(cfg: TrainConfig) -> dict:
     global_step = 0
     t_start = time.time()
 
+    def dispatch_group(state, group):
+        """Run len(group) steps in ONE fused scan dispatch (full groups)
+        or singly (the epoch tail) — equivalent numerics either way."""
+        if fused_fn is not None and len(group) == fused_k:
+            imgs_k = np.stack([g[0] for g in group])
+            lbls_k = np.stack([g[1] for g in group])
+            rngs_k = jnp.stack([g[2] for g in group])
+            if n_dev > 1:
+                # batch axis is now axis 1: shard (K, B, ...) over 'data'
+                sh = NamedSharding(mesh, P(None, "data"))
+                imgs_k = jax.device_put(imgs_k, sh)
+                lbls_k = jax.device_put(lbls_k, sh)
+            state, loss_k = fused_fn(state, imgs_k, lbls_k, rngs_k)
+            return state, [loss_k]
+        out = []
+        for imgs, lbls, step_rng in group:
+            if n_dev > 1:
+                imgs, lbls = shard_batch(mesh, (imgs, lbls))
+            state, loss = step_fn(state, imgs, lbls, step_rng)
+            out.append(jnp.atleast_1d(loss))
+        return state, out
+
     epoch = start_epoch
     for epoch in range(start_epoch, cfg.max_epochs):
         losses = []
         gen = train_ds.epoch_batches(cfg.batch_size)
+        group = []
         for imgs, lbls in prefetch(gen):
             rng, step_rng = jax.random.split(rng)
-            if n_dev > 1:
-                imgs, lbls = shard_batch(mesh, (imgs, lbls))
-            state, loss = step_fn(state, imgs, lbls, step_rng)
-            losses.append(loss)
-            global_step += 1
-        epoch_loss = float(jnp.mean(jnp.stack(losses)))
+            group.append((imgs, lbls, step_rng))
+            if len(group) == fused_k:
+                state, loss_list = dispatch_group(state, group)
+                losses.extend(loss_list)
+                global_step += len(group)
+                group = []
+        if group:
+            state, loss_list = dispatch_group(state, group)
+            losses.extend(loss_list)
+            global_step += len(group)
+        epoch_loss = float(jnp.mean(jnp.concatenate(
+            [jnp.atleast_1d(l) for l in losses])))
         epoch_loss_values.append(epoch_loss)
         logger.scalar("train_loss", epoch_loss, global_step)
         print(f"epoch {epoch} average loss: {epoch_loss:.4f}")

@@ -49,6 +49,28 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+def _train_step_body(state: TrainState, imgs, lbls, rng, num_classes,
+                     augment):
+    """One aug+fwd+bwd+update step (shared by the per-step and fused
+    dispatchers — MUST stay a single traced body so both compile to the
+    same op sequence and produce bit-identical updates)."""
+    if augment is not None:
+        keys = jax.random.split(rng, imgs.shape[0])
+        imgs, lbls = jax.vmap(
+            lambda k, i, l: augment_sample(k, i, l, augment)
+        )(keys, imgs, lbls)
+    else:
+        imgs = imgs.astype(jnp.float32) / 255.0
+        lbls = lbls.astype(jnp.int32)
+
+    def loss_fn(params):
+        logits = state.apply_fn(params, imgs, train=True)
+        return dice_ce_loss(logits, lbls, num_classes)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    return state.apply_gradients(grads), loss
+
+
 def make_train_step(num_classes: int = 3,
                     augment: AugmentConfig | None = AugmentConfig(),
                     donate: bool = True):
@@ -60,23 +82,39 @@ def make_train_step(num_classes: int = 3,
     """
 
     def step(state: TrainState, imgs, lbls, rng):
-        if augment is not None:
-            keys = jax.random.split(rng, imgs.shape[0])
-            imgs, lbls = jax.vmap(
-                lambda k, i, l: augment_sample(k, i, l, augment)
-            )(keys, imgs, lbls)
-        else:
-            imgs = imgs.astype(jnp.float32) / 255.0
-            lbls = lbls.astype(jnp.int32)
-
-        def loss_fn(params):
-            logits = state.apply_fn(params, imgs, train=True)
-            return dice_ce_loss(logits, lbls, num_classes)
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        return state.apply_gradients(grads), loss
+        return _train_step_body(state, imgs, lbls, rng, num_classes,
+                                augment)
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_fused_train_step(num_classes: int = 3,
+                          augment: AugmentConfig | None = AugmentConfig()):
+    """Build a K-step fused dispatcher: ONE jitted lax.scan runs K train
+    steps back-to-back on device.
+
+    The per-step dispatch loop pays one host→device dispatch round-trip
+    per step (measured ~110 ms/step on the tunneled dev chip for ~1 ms of
+    device compute — bench.py `--pipeline train`); fusing K steps into one
+    dispatch amortizes that K×. The scan body is the SAME traced step as
+    `make_train_step`, fed the SAME host-split rng keys in the same order,
+    so the fused path is numerically equivalent to K sequential dispatches
+    (bit-level drift is limited to float reassociation between the
+    scan-compiled and standalone-compiled step programs).
+
+    Inputs: stacked batches imgs (K, B, H, W, C) uint8, lbls (K, B, H, W),
+    rngs (K,) stacked PRNG keys. Returns (state, losses[K]).
+    """
+
+    def fused(state: TrainState, imgs_k, lbls_k, rngs_k):
+        def body(s, batch):
+            im, lb, r = batch
+            s2, loss = _train_step_body(s, im, lb, r, num_classes, augment)
+            return s2, loss
+
+        return jax.lax.scan(body, state, (imgs_k, lbls_k, rngs_k))
+
+    return jax.jit(fused, donate_argnums=(0,))
 
 
 def make_distance_train_step(loss_kind: str = "smooth_l1",
