@@ -81,9 +81,23 @@ def decode_flow(flow: jax.Array, cellprob: jax.Array,
         ys, xs = jax.lax.fori_loop(
             0, n_iter, lambda i, yx: step(i, yx, suppress=10.0), (ys0, xs0))
     else:
-        # a couple of Euler steps to smooth sub-pixel drift, then snap to
-        # the grid and double pointers
-        ys, xs = jax.lax.fori_loop(0, 2, step, (ys0, xs0))
+        # two Euler steps to seed the successor map, then snap to the grid
+        # and double pointers. Step 1 starts at integer coordinates, where
+        # bilinear sampling IS the exact table value — pure elementwise,
+        # no gather. Step 2 samples nearest-neighbor instead of bilinear:
+        # the snap quantizes to the pixel grid right after, so sub-pixel
+        # interpolation buys <0.5 px here while costing 8 full-image
+        # gathers (measured 1352 → 62 ms at 4.2 MP — TPU gathers run
+        # ~60-85 ms each at this size; the "euler"/"omni" methods keep
+        # cellpose's bilinear trajectory semantics).
+        ys = jnp.clip(ys0 + fy.ravel(), 0.0, h - 1.0)
+        xs = jnp.clip(xs0 + fx.ravel(), 0.0, w - 1.0)
+        yi = jnp.clip(jnp.round(ys), 0, h - 1).astype(jnp.int32)
+        xi = jnp.clip(jnp.round(xs), 0, w - 1).astype(jnp.int32)
+        fc = (fy + 1j * fx).astype(jnp.complex64).ravel()
+        d = fc[yi * w + xi]
+        ys = jnp.clip(ys + d.real, 0.0, h - 1.0)
+        xs = jnp.clip(xs + d.imag, 0.0, w - 1.0)
         succ = (jnp.clip(jnp.round(ys), 0, h - 1).astype(jnp.int32) * w
                 + jnp.clip(jnp.round(xs), 0, w - 1).astype(jnp.int32))
         n_doublings = max(int(np.ceil(np.log2(max(n_iter, 2)))), 1)
