@@ -155,7 +155,19 @@ def random_histogram_shift(key, img, prob, num_control_points):
     float_pts = jnp.concatenate([jnp.zeros((1,)), interior, jnp.ones((1,))])
     rng_ = jnp.maximum(hi - lo, 1e-7)
     norm = (img - lo) / rng_
-    warped = jnp.interp(norm, ref, float_pts) * rng_ + lo
+    # piecewise-linear eval as a static where-chain over the n-1 segments
+    # (ref is a STATIC linspace): jnp.interp lowers to a searchsorted +
+    # gather, and TPU gathers at image scale cost ~100 ms per train batch
+    # — measured 101 -> ~0 ms for this transform; n is 3 in the reference
+    # chain (model_training_3class.py:141)
+    seg_w = 1.0 / (n - 1)
+    warped = jnp.full_like(norm, float_pts[0])
+    for j in range(n - 1):
+        t = (norm - ref[j]) / seg_w
+        seg = float_pts[j] + t * (float_pts[j + 1] - float_pts[j])
+        warped = jnp.where(norm >= ref[j], seg, warped)
+    warped = jnp.where(norm >= 1.0, float_pts[-1], warped)
+    warped = warped * rng_ + lo
     return jnp.where(do, warped, img)
 
 

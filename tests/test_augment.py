@@ -86,3 +86,37 @@ def test_augment_distributions():
     base = np.asarray(scale_intensity(img.astype(jnp.float32)))
     out, _ = augment_sample(jax.random.PRNGKey(6), img, lbl, cfg)
     assert not np.allclose(np.asarray(out), base, atol=1e-3)
+
+
+def test_histogram_shift_matches_interp():
+    # The static where-chain must reproduce jnp.interp's piecewise-linear
+    # warp exactly (the chain exists only because interp lowers to a
+    # full-image gather on TPU; semantics must be identical).
+    from cellseg_tpu.pipeline.augment import random_histogram_shift
+
+    for n in (3, 4, 5):
+        for seed in (0, 1, 2):
+            key = jax.random.PRNGKey(seed)
+            img = jax.random.uniform(
+                jax.random.PRNGKey(seed + 100), (37, 41), minval=-2.0, maxval=7.0
+            )
+            out = random_histogram_shift(key, img, prob=1.0, num_control_points=n)
+
+            # replay the same RNG draws to build the interp reference
+            k_do, k_pts = jax.random.split(key)
+            lo, hi = jnp.min(img), jnp.max(img)
+            ref = jnp.linspace(0.0, 1.0, n)
+            u = jax.random.uniform(k_pts, (n - 2,)) if n > 2 else jnp.zeros((0,))
+            float_pts = jnp.concatenate(
+                [jnp.zeros((1,)), jnp.sort(u), jnp.ones((1,))]
+            )
+            rng_ = jnp.maximum(hi - lo, 1e-7)
+            norm = (img - lo) / rng_
+            want = jnp.interp(norm, ref, float_pts) * rng_ + lo
+            np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+
+    # prob=0 is identity
+    key = jax.random.PRNGKey(9)
+    img = jnp.ones((8, 8)) * 3.0
+    out = random_histogram_shift(key, img, prob=0.0, num_control_points=3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img))
