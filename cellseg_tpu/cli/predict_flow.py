@@ -50,6 +50,10 @@ def main(argv=None):
                         help="tile size for the tiled path")
     parser.add_argument("--omni", action="store_true",
                         help="omnipose-style suppressed-Euler decode")
+    parser.add_argument("--track_method", default=None,
+                        choices=["propagate", "doubling", "euler", "omni"],
+                        help="flow-tracking decode (default: the gather-free"
+                             " bounded-window tracker; omni implies omni)")
     parser.add_argument("--from_archive", default=None, type=str,
                         help="install real pretrained weights from a local "
                              "zip (.ckpt + JSON sidecar, arch-checked) and "
@@ -94,7 +98,7 @@ def main(argv=None):
         lambda p, x: model.apply(p, x), params,
         prob_threshold=args.prob_threshold, n_iter=args.n_iter,
         diam_mean=diam_mean, tile_threshold=args.tile_threshold,
-        roi=args.roi, omni=args.omni,
+        roi=args.roi, omni=args.omni, method=args.track_method,
     )
 
     if args.diameter == "auto":

@@ -37,7 +37,8 @@ class FlowPredictor:
     def __init__(self, apply_fn, params, prob_threshold: float = 0.0,
                  n_iter: int = 100, diam_mean: float = NOMINAL_DIAMETER,
                  tile_threshold: int = 1024, roi: int = 512,
-                 sw_batch: int | str = "auto", omni: bool = False):
+                 sw_batch: int | str = "auto", omni: bool = False,
+                 method: str | None = None):
         self.apply_fn = apply_fn
         self.params = params
         self.prob_threshold = prob_threshold
@@ -47,6 +48,9 @@ class FlowPredictor:
         self.roi = roi
         self.sw_batch = sw_batch
         self.omni = omni
+        # explicit method wins; else omni → suppressed Euler, default →
+        # the gather-free bounded-window tracker (decode/flow.py)
+        self.method = method or ("omni" if omni else "propagate")
         self._jitted = {}
 
     # -- single-scale forward + decode ------------------------------------
@@ -57,7 +61,7 @@ class FlowPredictor:
 
         from ..decode.flow import decode_flow
 
-        method = "omni" if self.omni else "doubling"
+        method = self.method
         h, w = grey.shape
         if max(h, w) > self.tile_threshold:
             # tiled path: blend flow+cellprob channels like logits.

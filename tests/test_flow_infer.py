@@ -61,6 +61,44 @@ def test_decode_flow_omni_matches_instances():
         assert counts.max() / region.sum() > 0.95
 
 
+def test_decode_flow_propagate_matches_doubling():
+    """The gather-free bounded-window tracker must recover the same
+    instance partition as pointer doubling (up to id permutation)."""
+    import jax.numpy as jnp
+
+    from cellseg_tpu.decode.flow import decode_flow
+
+    flow, prob, lbl = _synthetic_flow_field(
+        128, [(30, 30, 12), (80, 84, 16), (100, 30, 10)])
+    outs = {}
+    for m in ("propagate", "doubling"):
+        outs[m] = np.asarray(decode_flow(jnp.asarray(flow),
+                                         jnp.asarray(prob), 0.0, 100,
+                                         method=m))
+    for m, out in outs.items():
+        ids = set(np.unique(out)) - {0}
+        assert len(ids) == 3, (m, ids)
+        for i in (1, 2, 3):
+            region = lbl == i
+            _, counts = np.unique(out[region], return_counts=True)
+            assert counts.max() / region.sum() > 0.95, (m, i)
+    # the two methods agree pixelwise up to a label permutation
+    a, b = outs["propagate"], outs["doubling"]
+    both = (a > 0) & (b > 0)
+    agree = np.mean(a[both] == b[both]) if both.any() else 1.0
+    assert agree > 0.95
+
+
+def test_flow_predictor_method_knob():
+    from cellseg_tpu.infer.flow_infer import FlowPredictor
+
+    pred = FlowPredictor(lambda p, x: None, None)
+    assert pred.method == "propagate"
+    assert FlowPredictor(lambda p, x: None, None, omni=True).method == "omni"
+    assert FlowPredictor(lambda p, x: None, None,
+                         method="doubling").method == "doubling"
+
+
 def test_estimate_diameter():
     from cellseg_tpu.infer.flow_infer import estimate_diameter
 
