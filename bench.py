@@ -164,6 +164,12 @@ def _is_device_fault(exc: BaseException) -> bool:
     tname = type(exc).__name__
     if tname in ("XlaRuntimeError", "JaxRuntimeError", "_InjectedFault"):
         return True
+    # the substring heuristic only applies to runtime-ish error types: a
+    # deterministic ValueError whose message merely contains "tunnel" must
+    # fail fast with the error line instead of burning the single retry on
+    # up to 600 s of recovery polling (ADVICE r4)
+    if not isinstance(exc, (RuntimeError, OSError, ConnectionError)):
+        return False
     s = f"{tname}: {exc}".lower()
     return any(p in s for p in (
         "worker process crashed", "worker crashed", "restarted",
@@ -590,16 +596,31 @@ def main():
     pred.predict(img)
 
     # end-to-end throughput over a pipelined stream of slides (H2D/compute/
-    # D2H overlapped by async dispatch); median of 5 rounds
+    # D2H overlapped by async dispatch); median of 5 rounds. Per-round
+    # contention detection (VERDICT r4 item 9): a sync-RTT watermark is
+    # probed before each round; rounds whose RTT is well above the
+    # session's floor ran during ambient tunnel contention and are dropped
+    # from the median (the raw list + flags are still reported, so
+    # round-over-round deltas stay auditable).
     n_imgs = 8
-    rates = []
+    probe = jax.jit(lambda a: jnp.sum(a))
+    probe_arg = jnp.zeros((8,), jnp.float32)
+    float(probe(probe_arg))
+    rates, round_rtt_ms = [], []
     for _ in range(5):
+        t0 = time.perf_counter()
+        float(probe(probe_arg))
+        round_rtt_ms.append(round((time.perf_counter() - t0) * 1e3, 1))
         t0 = time.perf_counter()
         for out in pred.predict_many([img] * n_imgs):
             pass
         dt = (time.perf_counter() - t0) / n_imgs
         rates.append(mp / dt)
-    mps = float(np.median(rates))
+    rtt_floor = min(round_rtt_ms)
+    round_contended = [r > max(2.0 * rtt_floor, rtt_floor + 25.0)
+                       for r in round_rtt_ms]
+    clean = [r for r, c in zip(rates, round_contended) if not c]
+    mps = float(np.median(clean if clean else rates))
 
     # per-stage device budget at steady state. On the axon tunnel,
     # block_until_ready does NOT wait for remote completion, so each
@@ -672,13 +693,16 @@ def main():
         "value": round(mps, 3),
         "unit": "megapixels/sec/chip",
         "vs_baseline": round(mps / budget_mps, 2),
-        "stats": "median of 5 pipelined rounds, trained model",
         "instances_decoded": n_instances,
         "stage_ms_at_4.2MP": stages,
         "device_compute_only_mps": compute_mps,
         "mfu": roofline["mfu_forward"],
         "roofline": roofline,
+        "stats": "median of uncontended pipelined rounds, trained model",
         "rates_all_rounds": [round(r, 2) for r in rates],
+        "round_sync_rtt_ms": round_rtt_ms,
+        "round_contended": round_contended,
+        "n_rounds_dropped": int(sum(round_contended)),
         "contended": bool(sync_ms > 100.0),
     }))
     return 0

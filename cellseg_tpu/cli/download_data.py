@@ -55,7 +55,11 @@ def install_models_from_archive(archive: str, target: str) -> list[str]:
             print(f"installed {os.path.relpath(ckpt, target)}: "
                   f"{cfg.get('model_name')} "
                   f"{cfg.get('architecture', {})} [arch-check ok]")
-        except (ValueError, OSError, KeyError) as e:
+        except (ValueError, OSError, KeyError, TypeError) as e:
+            # TypeError included: a malformed sidecar (unknown
+            # 'architecture' key reaching build_model, or a non-dict JSON
+            # body) must land in the aggregated report, not abort the
+            # whole install (ADVICE r4)
             errors.append(str(e))
     if errors:
         raise ValueError("archive failed arch-check:\n  " +

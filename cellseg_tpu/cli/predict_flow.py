@@ -53,7 +53,11 @@ def main(argv=None):
     parser.add_argument("--track_method", default=None,
                         choices=["propagate", "doubling", "euler", "omni"],
                         help="flow-tracking decode (default: the gather-free"
-                             " bounded-window tracker; omni implies omni)")
+                             " bounded-window tracker; omni implies omni). "
+                             "'propagate' assumes unit-normalized flows "
+                             "(its window saturates at 2 px/hop) — for "
+                             "external models with larger flow magnitudes "
+                             "pass 'doubling'")
     parser.add_argument("--from_archive", default=None, type=str,
                         help="install real pretrained weights from a local "
                              "zip (.ckpt + JSON sidecar, arch-checked) and "

@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import os
 import shutil
+import signal
 import subprocess
 import time
 
@@ -83,19 +84,30 @@ def _run_with_peak_rss(cmd: str, timeout: float, env: dict) -> tuple[float, int]
     """Run `cmd` through the shell; return (wall seconds, peak tree RSS
     bytes sampled at 0.2 s). Raises like subprocess.run(check=True)."""
     t0 = time.time()
-    proc = subprocess.Popen(cmd, shell=True, env=env)
+    # own process group: killing only the shell would orphan grandchildren
+    # that keep consuming the memory being budgeted and can race the next
+    # case's workdir cleanup (ADVICE r4)
+    proc = subprocess.Popen(cmd, shell=True, env=env,
+                            start_new_session=True)
+
+    def _kill_tree():
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
+
     peak = 0
     try:
         while proc.poll() is None:
             peak = max(peak, _tree_rss_bytes(proc.pid))
             if time.time() - t0 > timeout:
-                proc.kill()
+                _kill_tree()
                 proc.wait()
                 raise subprocess.TimeoutExpired(cmd, timeout)
             time.sleep(0.2)
     finally:
         if proc.poll() is None:
-            proc.kill()
+            _kill_tree()
             proc.wait()
     if proc.returncode != 0:
         raise subprocess.CalledProcessError(proc.returncode, cmd)

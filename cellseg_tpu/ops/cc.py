@@ -174,12 +174,30 @@ def _propagate_region(lab: jax.Array, m: jax.Array,
     forces the row/col region scans to be identities, i.e. every
     horizontal/vertical neighbor with the same m value already shares the
     pixel's label — exact 4-conn convergence for every region at once.
-    """
 
-    def body(state):
-        lab, _, it = state
-        new = _scan_rows_cols_region(lab, m)
-        return new, jnp.any(new != lab), it + 1
+    Fast path: block-local convergence (ops/pallas/local_cc.py) — each
+    row-stripe block iterates the scans to its LOCAL fixed point in VMEM
+    (one HBM round trip buys all local iterations), then one full-height
+    column region scan transports labels across stripe boundaries. The
+    outer certificate is unchanged: identity of the stripe converge
+    covers every horizontal adjacency (full-width rows), identity of the
+    column scan every vertical one (full-height columns).
+    """
+    from .pallas.local_cc import local_cc_supported, stripe_converge
+    from .pallas.scans import col_segmented_min_scan
+
+    h, w = lab.shape
+    if local_cc_supported(h, w):
+        def body(state):
+            lab, _, it = state
+            new = stripe_converge(lab, m, region=True)
+            new = col_segmented_min_scan(new, m, region=True)
+            return new, jnp.any(new != lab), it + 1
+    else:
+        def body(state):
+            lab, _, it = state
+            new = _scan_rows_cols_region(lab, m)
+            return new, jnp.any(new != lab), it + 1
 
     def cond(state):
         _, changed, it = state
@@ -235,6 +253,41 @@ def _propagate(lab: jax.Array, mask: jax.Array, connectivity: int,
     iteration run as one Pallas kernel pass (ops/pallas/sweeps.py),
     tripling the corner-turning rate per HBM round trip.
     """
+
+    from .pallas.local_cc import local_cc_supported, stripe_converge
+    from .pallas.scans import col_segmented_min_scan
+
+    h, w = mask.shape
+    if local_cc_supported(h, w):
+        # block-local two-phase fast path: each body converges every
+        # row-stripe block to its local fixed point in VMEM (one HBM
+        # round trip buys all local iterations), then one full-height
+        # column scan transports labels across stripe boundaries, so the
+        # outer while only pays for cross-stripe label chains.
+        # Certificate: at the outer fixed point the stripe converge is
+        # the identity (covers every horizontal pair — full-width rows),
+        # the column scan too (every vertical pair — full-height
+        # columns), and for 8-conn the trailing global 3×3 sweep covers
+        # the diagonal pairs that straddle a stripe boundary; all ops are
+        # non-increasing, so the argument of _cheap_body applies
+        # verbatim and the unique fixed point keeps bit-parity.
+        mi = mask.astype(jnp.int32)
+
+        def body_local(state):
+            lab, _, it = state
+            new = stripe_converge(lab, mi, connectivity=connectivity)
+            new = col_segmented_min_scan(new, mi)
+            if connectivity == 2:
+                new = _sweep_min(new, mask, connectivity)
+            return new, jnp.any(new != lab), it + 1
+
+        def cond_local(state):
+            _, changed, it = state
+            return jnp.logical_and(changed, it < max_iters)
+
+        state = jax.lax.while_loop(
+            cond_local, body_local, (lab, jnp.bool_(True), jnp.int32(0)))
+        return state[0]
 
     def make_body(fused_cfg):
         def body(state):

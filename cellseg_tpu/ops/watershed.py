@@ -100,6 +100,7 @@ def watershed_jax(image: jax.Array, markers: jax.Array, mask: jax.Array,
     hops = jnp.where(seeded, 0, _INF_HOPS)
     label = jnp.where(seeded, markers.astype(jnp.int32), 0)
 
+    from .pallas.ws_local import stripe_ws_converge, ws_local_supported
     from .pallas.ws_sweeps import fused_ws_sweeps, ws_sweeps_config
 
     cfg = ws_sweeps_config(*image.shape)
@@ -108,7 +109,22 @@ def watershed_jax(image: jax.Array, markers: jax.Array, mask: jax.Array,
         _, _, _, changed, it = state
         return jnp.logical_and(changed, it < max_iters)
 
-    if cfg is not None:
+    if ws_local_supported(*image.shape):
+        # block-local two-phase fast path (ops/pallas/ws_local.py): each
+        # row stripe converges to its local fixed point in VMEM, then one
+        # global relax_once moves fronts across stripe boundaries and is
+        # the convergence certificate (its identity at the outer fixed
+        # point is exactly the plain loop's exit condition). Outer
+        # iterations ≈ stripes a basin spans, not basin diameter.
+        def body(state):
+            cost, hops, label, _, it = state
+            nc, nh, nl = stripe_ws_converge(e, mask, cost, hops, label)
+            nc, nh, nl = relax_once(nc, nh, nl, e, mask)
+            changed = jnp.any(
+                jnp.logical_or(nl != label,
+                               jnp.logical_or(nh != hops, nc != cost)))
+            return nc, nh, nl, changed, it + 1
+    elif cfg is not None:
         # k relaxation sweeps per HBM round trip (Pallas VMEM kernel) —
         # bit-identical to k plain sweeps; convergence checked per block
         stripe, k = cfg
