@@ -68,36 +68,63 @@ def _seeds_and_mask(cell_pred: jax.Array, border_pred: jax.Array,
     cleaned = cell - transform_border(border_pred)
     seed_mask = cleaned > th_seed
 
-    # One CC propagation + one sort-based area pass (the scatter-add this
-    # replaces costs 30-40 ms at 4 MP on v5e — ops/cc.py cost model), and
-    # no second labeling: dropping whole components leaves the surviving
-    # roots untouched, so the final ids come straight from the filtered
-    # root map.
+    # Two CC propagations (roots, then dense sequential ids — the id
+    # flood runs BEFORE the area filter so the ids double as dense ranks)
+    # and zero sorts on the common path: per-rank areas are an exact MXU
+    # one-hot histogram and the area filter + final renumbering are MXU
+    # table lookups (ops/rank_areas.py) — replacing the two full-image
+    # sort passes of component_areas_by_sort (~9 ms at 4.2 MP). Above
+    # 65536 seed components (never in practice — seeds are cells) the
+    # bit-identical sort path takes over via lax.cond.
     from ..ops.cc import (
         _root_labels,
         component_areas_by_sort,
         sequential_from_roots,
     )
+    from ..ops.rank_areas import (
+        _RANK_BINS,
+        _mxu_dtype,
+        counts_by_rank,
+        rank_value_lookup,
+    )
 
     roots = _root_labels(seed_mask, connectivity=2)
-    area_px = component_areas_by_sort(
-        roots.ravel(), seed_mask.ravel()).reshape(seed_mask.shape)
-    if rescue:
-        min_area = jnp.float32(4.0)
+    dense = sequential_from_roots(roots, seed_mask, connectivity=2)
+    k_total = jnp.max(dense)
+
+    def _min_area(area_sum, num_seeds):
+        if rescue:
+            return jnp.float32(4.0)
+        mean_area = area_sum / jnp.maximum(num_seeds, 1).astype(jnp.float32)
+        return jnp.maximum(0.10 * mean_area, 4.0)
+
+    area_sum = jnp.sum(seed_mask.astype(jnp.float32))
+
+    def hist_path(dense, seed_mask):
+        dense0 = jnp.clip(dense - 1, 0, _RANK_BINS - 1)
+        counts = counts_by_rank(dense0, seed_mask)
+        min_area = _min_area(area_sum, k_total)
+        keep = counts.astype(jnp.float32) > min_area
+        seq_table = jnp.cumsum(keep.astype(jnp.int32))
+        seq_table = jnp.where(keep, seq_table, 0)
+        seeds2 = rank_value_lookup(dense0, seq_table)
+        return jnp.where(seed_mask, seeds2, 0)
+
+    def sort_path(dense, seed_mask):
+        area_px = component_areas_by_sort(
+            roots.ravel(), seed_mask.ravel()).reshape(seed_mask.shape)
+        min_area = _min_area(area_sum, k_total)
+        seed_mask2 = jnp.logical_and(
+            seed_mask, area_px.astype(jnp.float32) > min_area)
+        return sequential_from_roots(
+            jnp.where(seed_mask2, roots, jnp.int32(2**31 - 1)), seed_mask2,
+            connectivity=2)
+
+    if _mxu_dtype() is not jnp.bfloat16:
+        seeds2 = sort_path(dense, seed_mask)
     else:
-        n = seed_mask.shape[0] * seed_mask.shape[1]
-        flat = roots.ravel()
-        is_root = jnp.logical_and(
-            flat == jnp.arange(n, dtype=jnp.int32), seed_mask.ravel())
-        num_seeds = jnp.maximum(jnp.sum(is_root.astype(jnp.int32)), 1)
-        mean_area = (jnp.sum(seed_mask.astype(jnp.float32))
-                     / num_seeds.astype(jnp.float32))
-        min_area = jnp.maximum(0.10 * mean_area, 4.0)
-    seed_mask2 = jnp.logical_and(
-        seed_mask, area_px.astype(jnp.float32) > min_area)
-    seeds2 = sequential_from_roots(
-        jnp.where(seed_mask2, roots, jnp.int32(2**31 - 1)), seed_mask2,
-        connectivity=2)
+        seeds2 = jax.lax.cond(k_total <= _RANK_BINS, hist_path, sort_path,
+                              dense, seed_mask)
     return cell, mask, seeds2
 
 

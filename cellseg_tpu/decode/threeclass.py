@@ -45,14 +45,19 @@ def decode_interior_prob(prob_interior: jax.Array) -> jax.Array:
     """
     import jax.numpy as jnp
 
-    from ..ops.cc import _INF, _propagate, region_roots, sequential_from_ranks
+    from ..ops.cc import (
+        _INF,
+        _propagate,
+        region_roots,
+        sequential_from_ranks_table,
+    )
     from ..ops.rank_areas import dense_region_ranks, small_mask_guarded
 
     mask = prob_interior > 0.5
     roots = region_roots(mask)
     # dense ranks make the area filters sort-free: per-rank pixel counts
     # are an exact MXU one-hot histogram instead of two full-image sorts
-    # (ops/rank_areas.py; guarded sort fallback above 16384 components)
+    # (ops/rank_areas.py; guarded sort fallback above 65536 components)
     dense, r_plane, k_total = dense_region_ranks(
         roots, mask.astype(jnp.int32))
 
@@ -77,8 +82,8 @@ def decode_interior_prob(prob_interior: jax.Array) -> jax.Array:
     # final 8-conn labeling seeded by the surviving merged ranks
     lab = _propagate(jnp.where(mask2, merged, _INF), mask2,
                      connectivity=2, max_iters=1024)
-    return sequential_from_ranks(lab, r_plane, roots, mask2,
-                                 connectivity=2)
+    return sequential_from_ranks_table(lab, r_plane, roots, mask2, k_total,
+                                       connectivity=2)
 
 
 def decode_interior_prob_host(prob_interior: np.ndarray) -> np.ndarray:

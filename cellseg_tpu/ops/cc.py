@@ -396,6 +396,52 @@ def sequential_from_ranks(lab_ranks: jax.Array, r_plane: jax.Array,
     return jnp.where(mask, out, 0)
 
 
+def sequential_from_ranks_table(lab_ranks: jax.Array, r_plane: jax.Array,
+                                roots: jax.Array, mask: jax.Array,
+                                k_total: jax.Array,
+                                connectivity: int = 2) -> jax.Array:
+    """sequential_from_ranks without the final seeded propagation.
+
+    The converged plane already holds DENSE ranks, so the sequential id of
+    every pixel is a pure function of its rank: table[r] = #surviving
+    representatives with rank ≤ r. The table is built with one MXU one-hot
+    histogram over the representative pixels and applied with the 2×7-bit
+    MXU value lookup (ops/rank_areas.py) — ~1.5 ms vs the ~5 ms seeded
+    flood at 4.2 MP. Representative raster order is monotone in rank, so
+    ids match sequential_from_ranks exactly; parity pinned by the decode
+    goldens. Guarded: ranks above the 65536-bin budget (or a non-MXU
+    backend) fall back to the propagation path.
+    """
+    from .rank_areas import (
+        _RANK_BINS,
+        _mxu_dtype,
+        counts_by_rank,
+        rank_value_lookup,
+    )
+
+    if _mxu_dtype() is not jnp.bfloat16:
+        return sequential_from_ranks(lab_ranks, r_plane, roots, mask,
+                                     connectivity)
+
+    def table_path(lab_ranks, r_plane, roots, mask):
+        h, w = mask.shape
+        lin = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+        is_rep = jnp.logical_and(
+            mask, jnp.logical_and(roots == lin, lab_ranks == r_plane))
+        dense0 = jnp.clip(lab_ranks - 1, 0, _RANK_BINS - 1)
+        hist = counts_by_rank(dense0, is_rep)
+        table = jnp.cumsum(hist)
+        out = rank_value_lookup(dense0, table)
+        return jnp.where(mask, out, 0)
+
+    return jax.lax.cond(
+        k_total <= _RANK_BINS,
+        table_path,
+        lambda lr, rp, r, m: sequential_from_ranks(lr, rp, r, m,
+                                                   connectivity),
+        lab_ranks, r_plane, roots, mask)
+
+
 def _coarse_seed_init(mask: jax.Array, connectivity: int,
                       block: int = 8) -> jax.Array:
     """Multigrid initial labels: pre-merge all-true 8×8 blocks on a 64×

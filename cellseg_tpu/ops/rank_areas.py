@@ -13,7 +13,7 @@ replaces them with matmul-shaped primitives that ride the MXU:
    therefore yields every pixel's dense component rank in [1, K].
 
 2. Per-rank pixel counts as an exact one-hot einsum histogram
-   (hi/lo-decomposed 128x128 bins, f32 MXU accumulation summed in int32
+   (hi/lo-decomposed 256x256 bins, f32 MXU accumulation summed in int32
    per <=2^23-pixel group — the same exactness recipe as
    pipeline/normalize.py:_histogram_256), instead of a sort pair.
 
@@ -21,7 +21,7 @@ replaces them with matmul-shaped primitives that ride the MXU:
    ``flag[n] = oh_hi[n] @ S @ oh_lo[n]`` (two MXU contractions), instead
    of the unsort pass.
 
-Ranks above _RANK_BINS (16384) would alias, so callers guard with
+Ranks above _RANK_BINS (65536) would alias, so callers guard with
 ``lax.cond(K <= _RANK_BINS, hist_path, sort_path)`` — the sort path is
 the round-3 machinery and stays bit-identical.
 """
@@ -31,8 +31,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_RANK_BINS = 16384
-_SIDE = 128  # _RANK_BINS == _SIDE * _SIDE
+_RANK_BINS = 65536  # raw trained-model masks carry ~31k speckle
+# components at 4.2 MP (pre-filter), so 16384 bins silently routed the
+# bench decode onto the sort fallback every call — 256x256 one-hot planes
+# stay exact in bf16 (0/1 values; integers <= 256 for the hi/lo split)
+_SIDE = 256  # _RANK_BINS == _SIDE * _SIDE
 _GROUP = 1 << 23  # f32 one-hot accumulation stays exact below 2^24
 
 
@@ -66,9 +69,9 @@ def dense_region_ranks(roots: jax.Array, m: jax.Array):
 
 
 def counts_by_rank(dense0: jax.Array, weight: jax.Array) -> jax.Array:
-    """Exact count of weight-true pixels per rank — (16384,) int32.
+    """Exact count of weight-true pixels per rank — (65536,) int32.
 
-    dense0: 0-based ranks (any shape, int32, values < 16384 for exact
+    dense0: 0-based ranks (any shape, int32, values < 65536 for exact
     results); weight: bool same shape. One-hot hi/lo einsum on the MXU,
     f32-accumulated per <=2^23-pixel group, int32-summed across groups.
     """
@@ -99,7 +102,7 @@ def counts_by_rank(dense0: jax.Array, weight: jax.Array) -> jax.Array:
 def rank_flag_lookup(dense0: jax.Array, flags: jax.Array) -> jax.Array:
     """Per-pixel bool flags[dense0] without a gather.
 
-    flags: (16384,) bool table. Bilinear one-hot contraction
+    flags: (65536,) bool table. Bilinear one-hot contraction
     ``oh_hi @ S @ oh_lo`` — both stages are exact in bf16 (0/1 values,
     one nonzero per one-hot row).
     """
@@ -117,10 +120,39 @@ def rank_flag_lookup(dense0: jax.Array, flags: jax.Array) -> jax.Array:
     return (out > 0.5).reshape(shape)
 
 
+def rank_value_lookup(dense0: jax.Array, values: jax.Array) -> jax.Array:
+    """Per-pixel int32 values[dense0] without a gather.
+
+    values: (65536,) int32 table with entries in [0, 65536]. Split into
+    two 8-bit planes (each 0..256 — exactly representable in bf16), each
+    fetched by the bilinear one-hot contraction of rank_flag_lookup, and
+    recombined. Exact: one-hot rows have a single nonzero and the MXU
+    accumulates in f32.
+    """
+    dt = _mxu_dtype()
+    shape = dense0.shape
+    d = dense0.ravel()
+    iota = jnp.arange(_SIDE, dtype=jnp.int32)
+    oh_hi = ((d // _SIDE)[:, None] == iota).astype(dt)
+    oh_lo = ((d % _SIDE)[:, None] == iota).astype(dt)
+
+    def fetch(plane):
+        s = plane.reshape(_SIDE, _SIDE).astype(dt)
+        picked = jnp.einsum("nh,hl->nl", oh_hi, s,
+                            preferred_element_type=jnp.float32)
+        out = jnp.einsum("nl,nl->n", picked.astype(dt), oh_lo,
+                         preferred_element_type=jnp.float32)
+        return jnp.round(out).astype(jnp.int32)
+
+    lo = fetch(values & 255)
+    hi = fetch(values >> 8)
+    return (hi * 256 + lo).reshape(shape)
+
+
 def small_mask_by_rank_hist(dense: jax.Array, domain: jax.Array,
                             threshold: int) -> jax.Array:
     """domain-pixels whose component (by dense rank) has < threshold
-    domain-pixels. dense: 1-based ranks (valid ranks < 16385)."""
+    domain-pixels. dense: 1-based ranks (valid ranks <= 65536)."""
     dense0 = jnp.maximum(dense - 1, 0)
     counts = counts_by_rank(dense0, domain)
     return jnp.logical_and(domain,
@@ -139,7 +171,7 @@ def small_mask_by_rank_sort(dense: jax.Array, domain: jax.Array,
 
 def small_mask_guarded(dense: jax.Array, k_total: jax.Array,
                        domain: jax.Array, threshold: int) -> jax.Array:
-    """Histogram path when every rank fits the 16384-bin budget, else the
+    """Histogram path when every rank fits the 65536-bin budget, else the
     bit-identical sort path (lax.cond: one branch executes per call).
 
     The one-hot einsums only pay off where they ride the MXU; on CPU/GPU

@@ -38,8 +38,12 @@ out = decode_interior_prob(prob)
 sync(out)
 np.save(%(out)r, np.asarray(out))
 tiny = jnp.zeros((8,), jnp.float32)
-t0 = time.perf_counter(); sync(tiny)
-rtt = time.perf_counter() - t0
+sync(tiny)
+_rs = []
+for _ in range(5):
+    t0 = time.perf_counter(); sync(tiny)
+    _rs.append(time.perf_counter() - t0)
+rtt = float(np.median(_rs))
 ts = []
 for _ in range(5):
     t0 = time.perf_counter()

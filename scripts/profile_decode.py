@@ -38,13 +38,21 @@ def _sync(out):
                          else leaf))
 
 
+def _rtt():
+    """Median sync RTT (tiny independent program + scalar fetch)."""
+    tiny = jnp.zeros((8,), jnp.float32)
+    _sync(tiny)
+    rs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _sync(tiny)
+        rs.append(time.perf_counter() - t0)
+    return float(np.median(rs))
+
+
 def timed(fn, *args, n=20, rounds=5):
     _sync(fn(*args))
-    # pure sync RTT (dispatch of a tiny independent program + fetch)
-    tiny = jnp.zeros((8,), jnp.float32)
-    t0 = time.perf_counter()
-    _sync(tiny)
-    rtt = time.perf_counter() - t0
+    rtt = _rtt()
     ts = []
     for _ in range(rounds):
         t0 = time.perf_counter()
@@ -87,10 +95,47 @@ def iter_count_prop(lab, mask, connectivity, max_iters=1024):
     return state[0], state[2]
 
 
+def real_prob(img):
+    """The bench pipeline's actual decode input: trained bf16 UNet
+    sliding-window forward + softmax interior channel (bench.py:main)."""
+    from flax import serialization
+
+    from cellseg_tpu.infer.sliding_window import sliding_window_inference
+    from cellseg_tpu.models import build_model
+    from cellseg_tpu.pipeline.normalize import normalize_image_jax
+    from cellseg_tpu.train.checkpoint import load_checkpoint
+
+    model = build_model("unet", num_class=3, dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 256, 256, 3), jnp.float32))
+    payload = load_checkpoint(os.path.join(REPO, "assets",
+                                           "bench_unet_3class.ckpt"))
+    params = jax.device_put(
+        serialization.from_state_dict(params, payload["params"]))
+
+    @jax.jit
+    def fwd(p, u8):
+        norm = normalize_image_jax(u8).astype(jnp.float32)
+        norm = jnp.repeat(norm, 3, axis=-1)
+        x = norm / jnp.maximum(jnp.max(norm), 1e-8)
+        logits = sliding_window_inference(
+            lambda pp, t: model.apply(pp, t), p, x, roi=256,
+            sw_batch=128, overlap=0.25, out_channels=3)
+        return jax.nn.softmax(logits, axis=-1)[..., 1]
+
+    return fwd(params, jnp.asarray(img[..., None]))
+
+
 def main():
-    H = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    H = int(pos[0]) if pos else 2048
     img = make_slide(H, H, n_cells=2000 * (H * H) // (2048 * 2048))
-    prob = jnp.asarray((img.astype(np.float32) - 30.0) / 150.0).clip(0, 1)
+    if "--real" in sys.argv:
+        prob = real_prob(img)
+        print("input: trained-model softmax (bench-identical)")
+    else:
+        prob = jnp.asarray(
+            (img.astype(np.float32) - 30.0) / 150.0).clip(0, 1)
     mask = prob > 0.5
 
     # --- stage 1: region_roots (fused object+background propagation)

@@ -41,14 +41,33 @@ def cost(jitted, *args):
         return None, None
 
 
+def _sync(out):
+    """Force remote materialization (block_until_ready returns at enqueue
+    on the axon tunnel)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+def _rtt():
+    tiny = jnp.zeros((8,), jnp.float32)
+    _sync(tiny)
+    rs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _sync(tiny)
+        rs.append(time.perf_counter() - t0)
+    return float(np.median(rs))
+
+
 def timed_chain(fn, *args, n=20, rounds=5):
-    jax.block_until_ready(fn(*args))
+    _sync(fn(*args))
+    rtt = _rtt()
     ts = []
     for _ in range(rounds):
         t0 = time.perf_counter()
         outs = [fn(*args) for _ in range(n)]
-        jax.block_until_ready(outs)
-        ts.append((time.perf_counter() - t0) * 1e3 / n)
+        _sync(outs[-1])
+        ts.append(((time.perf_counter() - t0) - rtt) * 1e3 / n)
     return float(np.median(ts))
 
 

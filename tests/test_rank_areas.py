@@ -19,17 +19,17 @@ from cellseg_tpu.ops.rank_areas import (  # noqa: E402
 
 def test_counts_by_rank_matches_bincount():
     rng = np.random.default_rng(0)
-    d = rng.integers(0, 16384, (400, 300)).astype(np.int32)
+    d = rng.integers(0, 65536, (400, 300)).astype(np.int32)
     w = rng.random((400, 300)) < 0.6
     got = np.asarray(counts_by_rank(jnp.asarray(d), jnp.asarray(w)))
-    want = np.bincount(d[w].ravel(), minlength=16384)
+    want = np.bincount(d[w].ravel(), minlength=65536)
     np.testing.assert_array_equal(got, want)
 
 
 def test_rank_flag_lookup_matches_indexing():
     rng = np.random.default_rng(1)
-    d = rng.integers(0, 16384, (256, 256)).astype(np.int32)
-    flags = rng.random(16384) < 0.5
+    d = rng.integers(0, 65536, (256, 256)).astype(np.int32)
+    flags = rng.random(65536) < 0.5
     got = np.asarray(rank_flag_lookup(jnp.asarray(d), jnp.asarray(flags)))
     np.testing.assert_array_equal(got, flags[d])
 
@@ -63,3 +63,47 @@ def test_small_mask_hist_matches_sort(threshold):
         g = np.asarray(small_mask_guarded(dense, k, dom, threshold))
         np.testing.assert_array_equal(h, s)
         np.testing.assert_array_equal(g, s)
+
+
+def test_rank_value_lookup_exact():
+    rng = np.random.default_rng(4)
+    from cellseg_tpu.ops.rank_areas import _RANK_BINS, rank_value_lookup
+
+    dense0 = jnp.asarray(rng.integers(0, _RANK_BINS, size=(64, 128)),
+                         jnp.int32)
+    values = jnp.asarray(rng.integers(0, _RANK_BINS + 1, size=(_RANK_BINS,)),
+                         jnp.int32)
+    got = np.asarray(rank_value_lookup(dense0, values))
+    want = np.asarray(values)[np.asarray(dense0)]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sequential_from_ranks_table_matches_propagation(monkeypatch):
+    """The table relabel must reproduce sequential_from_ranks exactly
+    (force the MXU gate open on CPU: the einsums are exact in f32 too)."""
+    import cellseg_tpu.ops.rank_areas as ra
+    from cellseg_tpu.ops.cc import (
+        _INF,
+        _propagate,
+        sequential_from_ranks,
+        sequential_from_ranks_table,
+    )
+
+    rng = np.random.default_rng(5)
+    mask = rng.random((96, 128)) < 0.55
+    mj = jnp.asarray(mask)
+    roots = region_roots(mask)
+    dense, r_plane, k = dense_region_ranks(
+        roots, mj.astype(jnp.int32))
+    # drop some components (an area filter stand-in), then 8-conn merge
+    keep = np.asarray(small_mask_by_rank_sort(dense, mj, 6)) == 0
+    mask2 = jnp.asarray(mask & keep)
+    lab = _propagate(jnp.where(mask2, dense, _INF), mask2,
+                     connectivity=2, max_iters=1024)
+
+    want = np.asarray(sequential_from_ranks(lab, r_plane, roots, mask2, 2))
+    # bf16 one-hots are exact on CPU as well — only slower
+    monkeypatch.setattr(ra, "_mxu_dtype", lambda: jnp.bfloat16)
+    got = np.asarray(sequential_from_ranks_table(
+        lab, r_plane, roots, mask2, k, 2))
+    np.testing.assert_array_equal(got, want)
