@@ -98,11 +98,16 @@ def main(argv=None):
                                                       args.checkpoint)
     diam_mean = float((sidecar or {}).get("diam_mean", NOMINAL_DIAMETER))
 
+    omni_head = bool((sidecar or {}).get("architecture", {}).get("omni",
+                                                                 False))
+    if omni_head:
+        print("omnipose-representation model (dist>0 mask rule)")
     pred = FlowPredictor(
         lambda p, x: model.apply(p, x), params,
         prob_threshold=args.prob_threshold, n_iter=args.n_iter,
         diam_mean=diam_mean, tile_threshold=args.tile_threshold,
         roi=args.roi, omni=args.omni, method=args.track_method,
+        omni_head=omni_head,
     )
 
     if args.diameter == "auto":

@@ -26,6 +26,12 @@ def main(argv=None):
                         help="warm-start from a pretrained flow checkpoint "
                              "(.ckpt file or model dir) — the cellpose2 "
                              "fine-tuning capability (reference README.md:34)")
+    parser.add_argument("--omni", action="store_true",
+                        help="train the omnipose-representation head: "
+                             "distance-field-gradient flows + regressed "
+                             "distance + boundary channel (the reference's "
+                             "omnipose capability, "
+                             "test_omnipose_cyto2_grey.py:23-28)")
     args = parser.parse_args(argv)
 
     from ..utils.cache import enable_compilation_cache
@@ -42,6 +48,7 @@ def main(argv=None):
         dtype=args.dtype,
         n_devices=args.n_devices,
         pretrained=args.pretrained,
+        omni=args.omni,
     )
     res = train_flow(cfg)
     print(f"flow training done: best val {res['best_val_loss']:.4f}")

@@ -38,7 +38,7 @@ class FlowPredictor:
                  n_iter: int = 100, diam_mean: float = NOMINAL_DIAMETER,
                  tile_threshold: int = 1024, roi: int = 512,
                  sw_batch: int | str = "auto", omni: bool = False,
-                 method: str | None = None):
+                 method: str | None = None, omni_head: bool = False):
         self.apply_fn = apply_fn
         self.params = params
         self.prob_threshold = prob_threshold
@@ -48,9 +48,17 @@ class FlowPredictor:
         self.roi = roi
         self.sw_batch = sw_batch
         self.omni = omni
-        # explicit method wins; else omni → suppressed Euler, default →
-        # the gather-free bounded-window tracker (decode/flow.py)
-        self.method = method or ("omni" if omni else "propagate")
+        # omni_head: the model carries the omnipose-representation head
+        # (FlowNet(omni=True): aux = (dist, boundary_logit) instead of a
+        # 1-channel cell logit; the decode mask is dist > threshold,
+        # threshold 0 by construction — background regresses to −1)
+        self.omni_head = omni_head
+        # explicit method wins; else the omnipose REPRESENTATION decodes
+        # with the same bounded-window tracker (its ∇φ flows are unit
+        # vectors too); the legacy omni FLAG without the head selects the
+        # suppressed-Euler tracking analog
+        self.method = method or (
+            "omni" if (omni and not omni_head) else "propagate")
         self._jitted = {}
 
     # -- single-scale forward + decode ------------------------------------
@@ -83,16 +91,20 @@ class FlowPredictor:
             if key not in self._jitted:
                 from .sliding_window import sliding_window_inference
 
+                n_out = 4 if self.omni_head else 3
+
                 def tiles_fn(p, t):
-                    flow, cellprob = self.apply_fn(p, t)
-                    return jnp.concatenate([flow, cellprob], axis=-1)
+                    flow, aux = self.apply_fn(p, t)
+                    return jnp.concatenate([flow, aux], axis=-1)
 
                 @jax.jit
                 def f(p, x):
                     out = sliding_window_inference(
                         tiles_fn, p, x, roi=self.roi,
                         sw_batch=sw_batch, overlap=0.25,
-                        out_channels=3)
+                        out_channels=n_out)
+                    # omni head: channel 2 is the regressed distance
+                    # field — thresholding it IS the mask rule (dist > 0)
                     return decode_flow(out[..., :2], out[..., 2],
                                        self.prob_threshold, self.n_iter,
                                        method=method)

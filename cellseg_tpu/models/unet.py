@@ -252,6 +252,13 @@ class FlowNet(nn.Module):
     Capability target of the cellpose/omnipose wrappers
     (cellpose-omnipose-KIT-GE/test_cellpose_cyto2_grey.py) — the flow-field
     representation decoded by gradient tracking in decode/flow.py.
+
+    omni=True selects the omnipose-representation head (capability target
+    of test_omnipose_cyto2_grey.py:23-28): 2 flow channels + a regressed
+    distance-to-boundary field + a boundary logit (4 channels total,
+    targets from pipeline/flow_labels.masks_to_flows_omni). The aux output
+    is then (dist, boundary_logit) instead of the 1-channel cell logit —
+    the decode mask comes from dist > 0.
     """
 
     channels: Sequence[int] = (32, 64, 128, 256)
@@ -259,6 +266,7 @@ class FlowNet(nn.Module):
     num_res_units: int = 2
     norm: str = "group"
     act: str = "relu"
+    omni: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -273,9 +281,10 @@ class FlowNet(nn.Module):
             dtype=self.dtype,
         )(x)
         out = UNetDecoder(
-            channels=self.channels, strides=self.strides, out_channels=3,
+            channels=self.channels, strides=self.strides,
+            out_channels=4 if self.omni else 3,
             norm=self.norm, act=self.act, dtype=self.dtype,
         )(bottom, skips)
         flow = out[..., :2]
-        cellprob = out[..., 2:]
-        return flow, cellprob
+        aux = out[..., 2:]  # (...,1) cell logit | (...,2) omni dist+boundary
+        return flow, aux

@@ -55,19 +55,82 @@ def masks_to_flows(label: np.ndarray, n_iter: int | None = None):
         heat *= mask
         heat += src
 
-    logh = np.log(heat + 1e-20)
-    # central differences inside, one-sided at the image frame — a zero
-    # gradient on the frame would give border-touching cells degenerate
-    # (axis-collapsed) flow targets that strand pixels at decode time
-    gy = np.zeros_like(logh)
-    gx = np.zeros_like(logh)
-    gy[1:-1, :] = (logh[2:, :] - logh[:-2, :]) / 2
-    gy[0, :] = logh[1, :] - logh[0, :]
-    gy[-1, :] = logh[-1, :] - logh[-2, :]
-    gx[:, 1:-1] = (logh[:, 2:] - logh[:, :-2]) / 2
-    gx[:, 0] = logh[:, 1] - logh[:, 0]
-    gx[:, -1] = logh[:, -1] - logh[:, -2]
-    norm = np.sqrt(gy**2 + gx**2) + 1e-20
-    flow = np.stack([gy / norm, gx / norm]).astype(np.float32)
+    flow = _unit_gradient(np.log(heat + 1e-20))
     flow *= mask[None]
     return flow, mask
+
+
+def _unit_gradient(phi: np.ndarray) -> np.ndarray:
+    """Normalized gradient of a scalar field: central differences inside,
+    one-sided at the image frame — a zero gradient on the frame would give
+    border-touching cells degenerate (axis-collapsed) flow targets that
+    strand pixels at decode time."""
+    gy = np.zeros_like(phi)
+    gx = np.zeros_like(phi)
+    gy[1:-1, :] = (phi[2:, :] - phi[:-2, :]) / 2
+    gy[0, :] = phi[1, :] - phi[0, :]
+    gy[-1, :] = phi[-1, :] - phi[-2, :]
+    gx[:, 1:-1] = (phi[:, 2:] - phi[:, :-2]) / 2
+    gx[:, 0] = phi[:, 1] - phi[:, 0]
+    gx[:, -1] = phi[:, -1] - phi[:, -2]
+    norm = np.sqrt(gy**2 + gx**2) + 1e-20
+    return np.stack([gy / norm, gx / norm]).astype(np.float32)
+
+
+def masks_to_flows_omni(label: np.ndarray):
+    """Instance labels → omnipose-style targets.
+
+    Returns ``(flow (2,H,W) float32, dist (H,W) float32, boundary (H,W)
+    bool)``. The omnipose representation (capability target of the
+    reference's omnipose wrapper, cellpose-omnipose-KIT-GE/
+    test_omnipose_cyto2_grey.py:23-28) replaces the cellpose
+    center-seeking heat flow with the gradient of the distance-to-boundary
+    field: flows converge to the cell's medial skeleton instead of a
+    single center point, which keeps trajectories inside thin/elongated
+    cells, and the regressed distance field doubles as the cell mask
+    (dist > 0) at decode time. This is an analog, not a numerical port of
+    omnipose internals:
+
+    - φ is the per-cell Euclidean distance transform where TOUCHING
+      NEIGHBOR CELLS count as boundary (each cell's EDT is computed
+      against everything that is not that cell), playing the role of
+      omnipose's eikonal solve;
+    - the flow target is the normalized gradient of φ after two masked
+      3×3 mean relaxations (the smoothing role of omnipose's FIM update —
+      raw EDT gradients are piecewise-constant staircases);
+    - the distance target is raw φ inside cells and −1 on background
+      (omnipose regresses its boundary field below zero on background so
+      `dist > 0` recovers the mask with a margin);
+    - the boundary target is the φ ≤ 1.5 shell (pixels touching the cell
+      edge, including diagonal contacts at √2).
+    """
+    label = np.asarray(label)
+    h, w = label.shape
+    mask = label > 0
+
+    phi = np.zeros((h, w), dtype=np.float64)
+    for lab, sl in enumerate(ndi.find_objects(label), start=1):
+        if sl is None:
+            continue
+        # pad the bbox by 1 so the EDT sees the off-bbox surroundings as
+        # boundary exactly when they are (other cells / background), and
+        # the image frame as non-boundary is NOT assumed: cells cut by the
+        # frame keep distance-to-frame=bbox-edge semantics like omnipose.
+        y0, y1 = max(sl[0].start - 1, 0), min(sl[0].stop + 1, h)
+        x0, x1 = max(sl[1].start - 1, 0), min(sl[1].stop + 1, w)
+        cell = label[y0:y1, x0:x1] == lab
+        d = ndi.distance_transform_edt(cell)
+        phi[y0:y1, x0:x1] = np.where(cell, d, phi[y0:y1, x0:x1])
+
+    # two masked 3×3 mean relaxations smooth the EDT staircase before the
+    # gradient; re-imposing φ=0 off-mask keeps the inward pull at edges
+    smooth = phi.copy()
+    for _ in range(2):
+        smooth = ndi.uniform_filter(smooth, size=3, mode="constant")
+        smooth *= mask
+    flow = _unit_gradient(smooth)
+    flow *= mask[None]
+
+    dist = np.where(mask, phi, -1.0).astype(np.float32)
+    boundary = mask & (phi <= 1.5)
+    return flow, dist, boundary

@@ -20,10 +20,10 @@ import optax
 
 from ..io import imread as imread_label
 from ..models import build_model
-from ..pipeline.flow_labels import masks_to_flows
+from ..pipeline.flow_labels import masks_to_flows, masks_to_flows_omni
 from .checkpoint import save_checkpoint, save_sidecar
 from .data import split_train_val
-from .losses import flow_loss
+from .losses import flow_loss, omni_flow_loss
 from .steps import TrainState
 
 join = os.path.join
@@ -49,25 +49,52 @@ class FlowTrainConfig:
     # retraining FROM a pretrained model (cellpose-omnipose-KIT-GE/
     # README.md:34: cellpose CLI, 500 epochs, batch 32, from cyto2).
     pretrained: str | None = None
+    # omnipose-representation head: flow targets are the gradient of the
+    # distance-to-boundary field, plus regressed distance + boundary
+    # channels (pipeline/flow_labels.masks_to_flows_omni; the reference's
+    # omnipose capability, test_omnipose_cyto2_grey.py:23-28)
+    omni: bool = False
 
 
 class FlowCropDataset:
-    """Random crops of (grey image, flow target, cell mask)."""
+    """Random crops of (grey image, flow target, cell mask) — or, with
+    omni=True, (grey, flow, dist, boundary) from the omnipose-representation
+    targets (channel layout (H, W, 5): grey, fy, fx, dist, boundary; the
+    dihedral augmentation below transforms only the vector channels 1:3,
+    which holds for both layouts)."""
 
-    def __init__(self, files, input_size: int, seed: int = 2022):
+    def __init__(self, files, input_size: int, seed: int = 2022,
+                 omni: bool = False):
         from .data import load_pair, pad_to_min
 
+        self.omni = omni
         self.samples = []
         for img_f, lbl_f in files:
             s = load_pair(img_f, lbl_f)
             grey = s.image.mean(axis=-1).astype(np.float32)
             lo, hi = grey.min(), grey.max()
             grey = (grey - lo) / max(hi - lo, 1e-9)
-            flow, mask = masks_to_flows(np.asarray(s.label).astype(np.int32))
-            stack = np.concatenate([
-                grey[None], flow, mask[None].astype(np.float32)], axis=0)
-            stack = np.moveaxis(stack, 0, -1)  # (H, W, 4)
-            self.samples.append(pad_to_min(stack, input_size))
+            lbl = np.asarray(s.label).astype(np.int32)
+            if omni:
+                flow, dist, boundary = masks_to_flows_omni(lbl)
+                planes = [grey[None], flow, dist[None],
+                          boundary[None].astype(np.float32)]
+            else:
+                flow, mask = masks_to_flows(lbl)
+                planes = [grey[None], flow, mask[None].astype(np.float32)]
+            stack = np.moveaxis(np.concatenate(planes, axis=0), 0, -1)
+            # dist is -1 on background but pad_to_min zero-pads
+            # (symmetrically, MONAI SpatialPadd); re-impose the background
+            # value on the padded frame so the mask head doesn't learn a
+            # dist=0 halo at crop edges
+            h0, w0 = stack.shape[:2]
+            stack = pad_to_min(stack, input_size)
+            if omni and stack.shape[:2] != (h0, w0):
+                ph, pw = stack.shape[0] - h0, stack.shape[1] - w0
+                padmask = np.ones(stack.shape[:2], bool)
+                padmask[ph // 2:ph // 2 + h0, pw // 2:pw // 2 + w0] = False
+                stack[..., 3] = np.where(padmask, -1.0, stack[..., 3])
+            self.samples.append(stack)
         self.input_size = input_size
         self.rng = np.random.RandomState(seed)
 
@@ -107,11 +134,16 @@ class FlowCropDataset:
                                           bool(self.rng.randint(2)))
                 batch.append(crop)
             b = np.stack(batch)
-            yield (b[..., :1], b[..., 1:3], b[..., 3] > 0.5)
+            if self.omni:
+                # (grey, flow, dist, boundary)
+                yield (b[..., :1], b[..., 1:3], b[..., 3], b[..., 4] > 0.5)
+            else:
+                yield (b[..., :1], b[..., 1:3], b[..., 3] > 0.5)
 
 
 def train_flow(cfg: FlowTrainConfig) -> dict:
-    model_dir = join(cfg.work_dir, f"{cfg.model_name}_flow")
+    model_dir = join(cfg.work_dir,
+                     f"{cfg.model_name}_{'omni' if cfg.omni else 'flow'}")
     os.makedirs(model_dir, exist_ok=True)
 
     img_path = join(cfg.data_path, "images")
@@ -121,11 +153,14 @@ def train_flow(cfg: FlowTrainConfig) -> dict:
         label_suffix="_label.tiff")
     if not val_files:
         val_files = train_files[:1]
-    train_ds = FlowCropDataset(train_files, cfg.input_size, cfg.seed)
-    val_ds = FlowCropDataset(val_files, cfg.input_size, cfg.seed + 1)
+    train_ds = FlowCropDataset(train_files, cfg.input_size, cfg.seed,
+                               omni=cfg.omni)
+    val_ds = FlowCropDataset(val_files, cfg.input_size, cfg.seed + 1,
+                             omni=cfg.omni)
 
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-    model = build_model(cfg.model_name, dtype=dtype, channels=cfg.channels)
+    model = build_model(cfg.model_name, dtype=dtype, channels=cfg.channels,
+                        omni=cfg.omni)
     rng = jax.random.PRNGKey(cfg.seed)
     params = model.init(
         rng, jnp.zeros((1, cfg.input_size, cfg.input_size, 1), jnp.float32))
@@ -143,6 +178,12 @@ def train_flow(cfg: FlowTrainConfig) -> dict:
                 raise ValueError(
                     "Architecture of model to retrain does not match: "
                     f"{arch} vs {list(cfg.channels)}")
+            if bool(side.get("architecture", {}).get("omni",
+                                                     False)) != cfg.omni:
+                raise ValueError(
+                    "Head of model to retrain does not match: omni="
+                    f"{side.get('architecture', {}).get('omni', False)} "
+                    f"vs {cfg.omni}")
             ckpt_path = join(ckpt_path, "best_model.ckpt")
         params, _ = restore_params(ckpt_path, params)
         print(f"warm-starting flow training from {cfg.pretrained}")
@@ -163,25 +204,29 @@ def train_flow(cfg: FlowTrainConfig) -> dict:
         state = state.replace(params=replicate(mesh, state.params),
                               opt_state=replicate(mesh, state.opt_state))
 
-    def place(imgs, flows, masks):
-        batch = (jnp.asarray(imgs), jnp.asarray(flows), jnp.asarray(masks))
+    def place(*arrays):
+        batch = tuple(jnp.asarray(a) for a in arrays)
         if n_dev > 1 and batch[0].shape[0] % n_dev == 0:
             return shard_batch(mesh, batch)
         return batch
 
-    @jax.jit
-    def step(state, imgs, flows, masks):
-        def loss_fn(p):
-            pred_flow, cellprob = model.apply(p, imgs)
-            return flow_loss(pred_flow, cellprob, flows, masks)
+    def batch_loss(p, batch):
+        if cfg.omni:
+            imgs, flows, dists, boundaries = batch
+            pred_flow, aux = model.apply(p, imgs)
+            return omni_flow_loss(pred_flow, aux, flows, dists, boundaries)
+        imgs, flows, masks = batch
+        pred_flow, cellprob = model.apply(p, imgs)
+        return flow_loss(pred_flow, cellprob, flows, masks)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    @jax.jit
+    def step(state, batch):
+        loss, grads = jax.value_and_grad(batch_loss)(state.params, batch)
         return state.apply_gradients(grads), loss
 
     @jax.jit
-    def eval_step(params, imgs, flows, masks):
-        pred_flow, cellprob = model.apply(params, imgs)
-        return flow_loss(pred_flow, cellprob, flows, masks)
+    def eval_step(params, batch):
+        return batch_loss(params, batch)
 
     # nominal cell diameter of the training set: median equivalent
     # diameter over all GT instances (drives diameter=None auto-rescale
@@ -195,7 +240,7 @@ def train_flow(cfg: FlowTrainConfig) -> dict:
 
     save_sidecar(model_dir, {
         "model_name": cfg.model_name,
-        "architecture": {"channels": list(cfg.channels)},
+        "architecture": {"channels": list(cfg.channels), "omni": cfg.omni},
         "num_class": 3,
         "input_size": cfg.input_size,
         "in_channels": 1,
@@ -210,16 +255,14 @@ def train_flow(cfg: FlowTrainConfig) -> dict:
     t0 = time.time()
     for epoch in range(1, cfg.max_epochs + 1):
         losses = []
-        for imgs, flows, masks in train_ds.batches(cfg.batch_size,
-                                                   steps_per_epoch):
-            imgs, flows, masks = place(imgs, flows, masks)
-            state, loss = step(state, imgs, flows, masks)
+        for batch in train_ds.batches(cfg.batch_size, steps_per_epoch):
+            state, loss = step(state, place(*batch))
             losses.append(loss)
         train_loss = float(jnp.mean(jnp.stack(losses)))
         vals = [
-            float(eval_step(state.params, jnp.asarray(i), jnp.asarray(f),
-                            jnp.asarray(m)))
-            for i, f, m in val_ds.batches(cfg.batch_size, 2, augment=False)
+            float(eval_step(state.params,
+                            tuple(jnp.asarray(a) for a in batch)))
+            for batch in val_ds.batches(cfg.batch_size, 2, augment=False)
         ]
         val_loss = float(np.mean(vals))
         history.append((train_loss, val_loss))

@@ -76,3 +76,23 @@ def flow_loss(flow_pred: jax.Array, cellprob_logit: jax.Array,
         )
     )
     return mse + bce
+
+
+def omni_flow_loss(flow_pred: jax.Array, aux_pred: jax.Array,
+                   flow_gt: jax.Array, dist_gt: jax.Array,
+                   boundary_gt: jax.Array) -> jax.Array:
+    """Omnipose-representation objective (targets from
+    pipeline/flow_labels.masks_to_flows_omni): the cellpose flow MSE (×5
+    scaling kept so both flow heads share decode semantics) + SmoothL1 on
+    the regressed distance-to-boundary field (weighted ×0.2 — raw φ spans
+    tens of px while the other terms are O(1)) + BCE on the boundary
+    channel. aux_pred is the FlowNet(omni=True) 2-channel aux output
+    (dist, boundary_logit)."""
+    mse = jnp.mean((flow_pred - 5.0 * flow_gt) ** 2) * 0.5
+    dist = smooth_l1(aux_pred[..., 0], dist_gt) * 0.2
+    bce = jnp.mean(
+        optax.sigmoid_binary_cross_entropy(
+            aux_pred[..., 1], boundary_gt.astype(jnp.float32)
+        )
+    )
+    return mse + dist + bce
