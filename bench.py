@@ -581,10 +581,14 @@ def main():
     img = make_slide(H, W)
     mp = H * W / 1e6
 
-    # one batch for the whole 2176² grid (121 tiles): the 16/32-channel
-    # UNet levels only fill the MXU at large tile batches (measured
-    # 26.3 → 7.5 ms for the forward going 16 → 128 tiles/step)
-    sw_batch = 128
+    # balanced per-step tile batches against a 128-tile MXU-fill budget:
+    # the 2176² uniform grid is 11×11 = 121 tiles; one scan step of
+    # exactly 121 runs every tile once (a fixed 128 would pad 7 duplicate
+    # forwards; on non-square slides the fixed batch can waste up to ~2×
+    # — see sliding_window.balanced_sw_batch)
+    from cellseg_tpu.infer.sliding_window import balanced_sw_batch
+
+    sw_batch = balanced_sw_batch(11 * 11)
     pred = Predictor(
         lambda p, t: model.apply(p, t), params,
         roi=256, sw_batch=sw_batch, overlap=0.25, bucket=256,

@@ -77,14 +77,14 @@ class FlowPredictor:
             # levels need many tiles per step — see infer/predictor.py),
             # scaled by tile area against the 128-tiles-at-256² budget.
             if self.sw_batch == "auto":
-                from .sliding_window import tile_origins
+                from .sliding_window import balanced_sw_batch, tile_origins
 
                 b = self.roi
                 ph_, pw_ = -(-h // b) * b, -(-w // b) * b
                 n_tiles = (len(tile_origins(ph_, self.roi, 0.25))
                            * len(tile_origins(pw_, self.roi, 0.25)))
                 budget = max(1, int(128 * (256 / self.roi) ** 2))
-                sw_batch = max(1, min(budget, n_tiles))
+                sw_batch = balanced_sw_batch(n_tiles, budget)
             else:
                 sw_batch = self.sw_batch
             key = ("tiled", sw_batch)

@@ -62,12 +62,14 @@ class Predictor:
         self.apply_fn = apply_fn
         self.params = params
         self.roi = roi
-        # "auto" sizes the per-step tile batch to the slide (min(128,
-        # n_tiles)): the reference's sw_batch=4 (predict.py:109) is a GPU
-        # memory knob, but on TPU the 16/32-channel UNet levels only fill
-        # the MXU when many tiles are batched — measured 26.3 → 7.5 ms for
-        # the 2176² forward going from 16 to 128 tiles/step. Results are
-        # bit-identical for any batching (same tiles, same blend).
+        # "auto" sizes the per-step tile batch to the slide (balanced
+        # ceil-division against a 128-tile budget): the reference's
+        # sw_batch=4 (predict.py:109) is a GPU memory knob, but on TPU the
+        # 16/32-channel UNet levels only fill the MXU when many tiles are
+        # batched — measured 26.3 → 7.5 ms for the 2176² forward going from
+        # 16 to 128 tiles/step — while a FIXED 128 pads 144 tiles up to 256
+        # (78% duplicate forwards; see sliding_window.balanced_sw_batch).
+        # Results are bit-identical for any batching (same tiles, blend).
         self.sw_batch = sw_batch
         self.overlap = overlap
         self.num_class = num_class
@@ -120,11 +122,11 @@ class Predictor:
         boundary_ws = self.decode == "boundary_watershed"
 
         if self.sw_batch == "auto":
-            from .sliding_window import tile_origins
+            from .sliding_window import balanced_sw_batch, tile_origins
 
             n_tiles = (len(tile_origins(ph, self.roi, self.overlap))
                        * len(tile_origins(pw, self.roi, self.overlap)))
-            sw_batch = max(1, min(128, n_tiles))
+            sw_batch = balanced_sw_batch(n_tiles)
         else:
             sw_batch = self.sw_batch
 

@@ -39,6 +39,20 @@ def tile_origins(size: int, roi: int, overlap: float = 0.25) -> np.ndarray:
     return np.unique(starts).astype(np.int32)
 
 
+def balanced_sw_batch(n_tiles: int, budget: int = 128) -> int:
+    """Per-step tile batch that BALANCES the scan instead of padding to the
+    budget. The tile count is padded up to a multiple of sw_batch with
+    duplicate tiles; a fixed sw_batch=128 at 144 tiles runs 256 tile
+    forwards (78% waste — the measured 12 ms forward stage at 2176² was
+    ~6.4 ms of conv with half the tiles thrown away). ceil-dividing the
+    tiles over ceil(n/budget) scan steps caps the duplicate waste at
+    n_steps−1 tiles while keeping every step within the MXU-filling
+    budget (the 16/32-channel UNet levels want ~128 tiles/step)."""
+    n_tiles = max(n_tiles, 1)
+    n_steps = -(-n_tiles // budget)
+    return -(-n_tiles // n_steps)
+
+
 def _gaussian_importance(roi: int, sigma_scale: float = 0.125) -> np.ndarray:
     """MONAI gaussian importance map: centered 2D gaussian, clipped to its
     own minimum positive value so no tile pixel has zero weight."""
