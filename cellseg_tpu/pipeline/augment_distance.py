@@ -101,11 +101,29 @@ def augment_distance_sample(key: jax.Array, img: jax.Array,
     border_a = jnp.clip(stack[..., 1:2], 0.0, 1.0)
     cell_a = jnp.clip(stack[..., 2:3], 0.0, 1.0)
 
-    # contrast (p=0.5): gamma-style stretch around the [-1,1] midpoint
+    # contrast (p=0.5): the reference's Contrast op picks one of CLAHE /
+    # min-max percentile stretch / contrast+gamma (mytransforms.py:72-133).
+    # On device we branch 50/50 between the two global variants (CLAHE's
+    # local-tile equalization has no cheap XLA form; the stretch covers
+    # its train-time role of contrast decoupling): (a) gamma stretch
+    # around the [-1,1] midpoint, (b) random-percentile min-max restretch
+    # — the branch that makes the net robust to how much of the intensity
+    # range the cells occupy (real multi-modality corpora vary wildly;
+    # see the anchor diagnosis in BASELINE.md).
     do_c = jax.random.uniform(keys[5]) < config.prob_contrast
+    pick_stretch = jax.random.uniform(jax.random.fold_in(key, 103)) < 0.5
     gamma = jax.random.uniform(keys[6], minval=0.65, maxval=1.35)
     x01 = jnp.clip((img_a + 1.0) / 2.0, 0.0, 1.0)
-    contrasted = (x01 ** gamma) * 2.0 - 1.0
+    gammaed = (x01 ** gamma) * 2.0 - 1.0
+    p_lo = jax.random.uniform(jax.random.fold_in(key, 104), minval=0.0,
+                              maxval=8.0)
+    p_hi = jax.random.uniform(jax.random.fold_in(key, 105), minval=92.0,
+                              maxval=100.0)
+    lo = jnp.percentile(x01, p_lo)
+    hi = jnp.percentile(x01, p_hi)
+    stretched = jnp.clip((x01 - lo) / jnp.maximum(hi - lo, 1e-6),
+                         0.0, 1.0) * 2.0 - 1.0
+    contrasted = jnp.where(pick_stretch, stretched, gammaed)
     img_a = jnp.where(do_c, contrasted, img_a)
 
     # blur (p=0.3)

@@ -153,6 +153,17 @@ def decode_delta_f1(model_dir: str, test_images: str) -> dict:
     for name in list_images(test_images):
         img = np.asarray(imread(os.path.join(test_images, name)))
         border, cell = pred.predict_raw(img)
+        # per-modality raw-prediction diagnosis (VERDICT r5 item 6): what
+        # did the net actually emit on this held-out case? A cell head
+        # whose p99 sits below th_cell explains an F1 of 0 structurally
+        # (no mask), as opposed to a thresholding/sweep artifact.
+        raw_stats = {
+            "cell_max": round(float(np.max(cell)), 4),
+            "cell_p99": round(float(np.percentile(cell, 99)), 4),
+            "border_max": round(float(np.max(border)), 4),
+            "border_p99": round(float(np.percentile(border, 99)), 4),
+            "mask_frac_at_0.07": round(float((cell > 0.07).mean()), 4),
+        }
         # same seed-decay rescue as decode_distance (weak models need
         # lower th_seed before any marker appears; a single fixed-th pass
         # yields zero seeds -> a vacuous 0/0 comparison)
@@ -177,7 +188,8 @@ def decode_delta_f1(model_dir: str, test_images: str) -> dict:
         f1 = 2 * tp / max(2 * tp + fp + fn, 1) if n_inst else 1.0
         out[name] = {"pixel_agreement_in_mask": agree,
                      "instance_f1_dev_vs_host": f1,
-                     "n_instances": n_inst}
+                     "n_instances": n_inst,
+                     "raw": raw_stats}
     return out
 
 
@@ -225,12 +237,13 @@ def eval_pipelines(rot: str, train: str, test: str, args,
         # the winner (eval.py:140-243, utils.get_best_model). Sweep on the
         # TRAIN patches (the held-out quadrants stay unseen) and infer the
         # test patches with the winning setting.
+        clahe = ["--apply_clahe"] if args.apply_clahe else []
         sweep_dir = os.path.join(rot, "sweep")
         run([sys.executable, "-m", "cellseg_tpu.cli.eval_distance",
              "--data_path", train, "--model_path", model_dir,
              "--th_seed", "0.35", "0.45", "0.55", "0.65",
              "--th_cell", "0.07", "0.25", "0.5",
-             "-o", sweep_dir])
+             "-o", sweep_dir] + clahe)
         import pandas as pd
 
         df = pd.read_csv(os.path.join(sweep_dir, "metrics.csv"))
@@ -241,7 +254,7 @@ def eval_pipelines(rot: str, train: str, test: str, args,
         run([sys.executable, "-m", "cellseg_tpu.cli.infer_distance",
              "-i", os.path.join(test, "images"), "-o", seg,
              "--model_path", model_dir,
-             "--th_seed", str(th_seed), "--th_cell", str(th_cell)])
+             "--th_seed", str(th_seed), "--th_cell", str(th_cell)] + clahe)
         results["distance"][key] = f1_per_case(
             os.path.join(test, "labels"), seg, os.path.join(rot, "md"))
         results["distance"][key]["th_seed"] = th_seed
@@ -261,6 +274,9 @@ def main():
                    help="distance trainset crop size; 128 yields ~4x more "
                         "crops from the tiny 9-patch anchor corpus")
     p.add_argument("--pipelines", nargs="+", default=["3class", "distance"])
+    p.add_argument("--apply_clahe", action="store_true",
+                   help="KIT-GE inference CLAHE knob through sweep + infer "
+                        "(the anchor-diagnosis lever, VERDICT r5 item 6)")
     p.add_argument("--rotations", nargs="+", default=NAMES)
     args = p.parse_args()
 
