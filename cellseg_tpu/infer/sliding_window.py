@@ -50,7 +50,11 @@ def balanced_sw_batch(n_tiles: int, budget: int = 128) -> int:
     budget (the 16/32-channel UNet levels want ~128 tiles/step)."""
     n_tiles = max(n_tiles, 1)
     n_steps = -(-n_tiles // budget)
-    return -(-n_tiles // n_steps)
+    per = -(-n_tiles // n_steps)
+    # round up to a multiple of 8 (sublane alignment): measured 121-tile
+    # batch 3.74 ms vs 128 with 7 duplicates 3.4 ms — alignment beats
+    # the small duplicate waste
+    return min(-(-per // 8) * 8, budget) if per > 8 else per
 
 
 def _gaussian_importance(roi: int, sigma_scale: float = 0.125) -> np.ndarray:
@@ -103,6 +107,28 @@ def tiles_to_canvas(tiles: jax.Array, stride: int, roi: int,
     return out
 
 
+@functools.lru_cache(maxsize=64)
+def _inv_count_canvas(n_ty: int, n_tx: int, stride: int, roi: int,
+                      ph: int, pw: int, mode: str) -> np.ndarray:
+    """Reciprocal of the blend-weight canvas for a uniform grid.
+
+    The count canvas is data-INDEPENDENT (pure function of the grid), so
+    it is precomputed on host and embedded as a program constant — the
+    on-device tiles_to_canvas for it cost as much HBM traffic as the
+    logits blend itself (measured ~1.8 of the 3.6 ms blend at 2176²),
+    and the division becomes a cheap multiply."""
+    if mode == "gaussian":
+        imp = _gaussian_importance(roi).astype(np.float64)
+    else:
+        imp = np.ones((roi, roi), np.float64)
+    cnt = np.zeros((ph, pw), np.float64)
+    for iy in range(n_ty):
+        for ix in range(n_tx):
+            cnt[iy * stride: iy * stride + roi,
+                ix * stride: ix * stride + roi] += imp
+    return (1.0 / np.maximum(cnt, 1e-8)).astype(np.float32)[..., None]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("apply_fn", "roi", "stride", "sw_batch",
@@ -120,7 +146,7 @@ def _run_tiled_uniform(apply_fn, params, padded, origins, roi: int,
     if mode == "gaussian":
         imp = jnp.asarray(_gaussian_importance(roi))[..., None]
     else:
-        imp = jnp.ones((roi, roi, 1), jnp.float32)
+        imp = None  # constant weights: fold the blend weight into inv_cnt
 
     def gather_tile(origin):
         return jax.lax.dynamic_slice(
@@ -129,7 +155,8 @@ def _run_tiled_uniform(apply_fn, params, padded, origins, roi: int,
 
     def body(_, orgs):
         tiles = jax.vmap(gather_tile)(orgs)
-        return None, apply_fn(params, tiles).astype(jnp.float32) * imp
+        out = apply_fn(params, tiles).astype(jnp.float32)
+        return None, out * imp if imp is not None else out
 
     _, stacked = jax.lax.scan(body, None, origins)
     tiles_out = stacked.reshape(-1, roi, roi, out_channels)
@@ -137,10 +164,9 @@ def _run_tiled_uniform(apply_fn, params, padded, origins, roi: int,
     acc = tiles_to_canvas(
         tiles_out.reshape(*n_tiles, roi, roi, out_channels),
         stride, roi, ph, pw)
-    cnt_tiles = jnp.broadcast_to(
-        imp, (n_tiles[0], n_tiles[1], roi, roi, 1))
-    cnt = tiles_to_canvas(cnt_tiles, stride, roi, ph, pw)
-    return acc / jnp.maximum(cnt, 1e-8)
+    inv_cnt = jnp.asarray(_inv_count_canvas(
+        n_tiles[0], n_tiles[1], stride, roi, ph, pw, mode))
+    return acc * inv_cnt
 
 
 @functools.partial(
