@@ -100,14 +100,14 @@ def _seeds_and_mask(cell_pred: jax.Array, border_pred: jax.Array,
 
     area_sum = jnp.sum(seed_mask.astype(jnp.float32))
 
-    def hist_path(dense, seed_mask):
-        dense0 = jnp.clip(dense - 1, 0, _RANK_BINS - 1)
-        counts = counts_by_rank(dense0, seed_mask)
+    def hist_path(dense, seed_mask, bins=_RANK_BINS, side=256):
+        dense0 = jnp.clip(dense - 1, 0, bins - 1)
+        counts = counts_by_rank(dense0, seed_mask, side)
         min_area = _min_area(area_sum, k_total)
         keep = counts.astype(jnp.float32) > min_area
         seq_table = jnp.cumsum(keep.astype(jnp.int32))
         seq_table = jnp.where(keep, seq_table, 0)
-        seeds2 = rank_value_lookup(dense0, seq_table)
+        seeds2 = rank_value_lookup(dense0, seq_table, side)
         return jnp.where(seed_mask, seeds2, 0)
 
     def sort_path(dense, seed_mask):
@@ -123,8 +123,15 @@ def _seeds_and_mask(cell_pred: jax.Array, border_pred: jax.Array,
     if _mxu_dtype() is not jnp.bfloat16:
         seeds2 = sort_path(dense, seed_mask)
     else:
-        seeds2 = jax.lax.cond(k_total <= _RANK_BINS, hist_path, sort_path,
-                              dense, seed_mask)
+        # tiered by runtime seed-component count (rank_areas module doc)
+        from ..ops.rank_areas import _BINS_SMALL, _SIDE_SMALL
+
+        seeds2 = jax.lax.cond(
+            k_total <= _BINS_SMALL,
+            lambda d, sm: hist_path(d, sm, _BINS_SMALL, _SIDE_SMALL),
+            lambda d, sm: jax.lax.cond(k_total <= _RANK_BINS, hist_path,
+                                       sort_path, d, sm),
+            dense, seed_mask)
     return cell, mask, seeds2
 
 

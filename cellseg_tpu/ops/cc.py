@@ -413,7 +413,9 @@ def sequential_from_ranks_table(lab_ranks: jax.Array, r_plane: jax.Array,
     backend) fall back to the propagation path.
     """
     from .rank_areas import (
+        _BINS_SMALL,
         _RANK_BINS,
+        _SIDE_SMALL,
         _mxu_dtype,
         counts_by_rank,
         rank_value_lookup,
@@ -423,22 +425,28 @@ def sequential_from_ranks_table(lab_ranks: jax.Array, r_plane: jax.Array,
         return sequential_from_ranks(lab_ranks, r_plane, roots, mask,
                                      connectivity)
 
-    def table_path(lab_ranks, r_plane, roots, mask):
+    def table_path(lab_ranks, r_plane, roots, mask, bins, side):
         h, w = mask.shape
         lin = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
         is_rep = jnp.logical_and(
             mask, jnp.logical_and(roots == lin, lab_ranks == r_plane))
-        dense0 = jnp.clip(lab_ranks - 1, 0, _RANK_BINS - 1)
-        hist = counts_by_rank(dense0, is_rep)
+        dense0 = jnp.clip(lab_ranks - 1, 0, bins - 1)
+        hist = counts_by_rank(dense0, is_rep, side)
         table = jnp.cumsum(hist)
-        out = rank_value_lookup(dense0, table)
+        out = rank_value_lookup(dense0, table, side)
         return jnp.where(mask, out, 0)
 
+    # tiered by runtime rank count (see rank_areas.small_mask_guarded)
     return jax.lax.cond(
-        k_total <= _RANK_BINS,
-        table_path,
-        lambda lr, rp, r, m: sequential_from_ranks(lr, rp, r, m,
-                                                   connectivity),
+        k_total <= _BINS_SMALL,
+        lambda lr, rp, r, m: table_path(lr, rp, r, m, _BINS_SMALL,
+                                        _SIDE_SMALL),
+        lambda lr, rp, r, m: jax.lax.cond(
+            k_total <= _RANK_BINS,
+            lambda a, b, c, d: table_path(a, b, c, d, _RANK_BINS, 256),
+            lambda a, b, c, d: sequential_from_ranks(a, b, c, d,
+                                                     connectivity),
+            lr, rp, r, m),
         lab_ranks, r_plane, roots, mask)
 
 

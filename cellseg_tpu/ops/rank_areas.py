@@ -24,6 +24,14 @@ replaces them with matmul-shaped primitives that ride the MXU:
 Ranks above _RANK_BINS (65536) would alias, so callers guard with
 ``lax.cond(K <= _RANK_BINS, hist_path, sort_path)`` — the sort path is
 the round-3 machinery and stays bit-identical.
+
+The histogram/lookup einsums are COMPUTE-bound, not memory-bound: at
+256×256 bins each one costs 2·n·65536 FLOPs (≈620 GF at 4.2 MP → a ~3 ms
+MXU floor, measured ~6 ms per area filter). Most post-filter rank counts
+are far below 4096, so every entry point is tiered: a 64×64-bin variant
+(16× fewer FLOPs, ~0.4 ms) runs when K ≤ 4096, the 256×256 variant when
+K ≤ 65536, the sort path above — all bit-identical, selected by nested
+lax.cond on the runtime K.
 """
 
 from __future__ import annotations
@@ -36,6 +44,8 @@ _RANK_BINS = 65536  # raw trained-model masks carry ~31k speckle
 # bench decode onto the sort fallback every call — 256x256 one-hot planes
 # stay exact in bf16 (0/1 values; integers <= 256 for the hi/lo split)
 _SIDE = 256  # _RANK_BINS == _SIDE * _SIDE
+_SIDE_SMALL = 64  # 4096-bin tier: 16x fewer einsum FLOPs
+_BINS_SMALL = _SIDE_SMALL * _SIDE_SMALL
 _GROUP = 1 << 23  # f32 one-hot accumulation stays exact below 2^24
 
 
@@ -68,10 +78,11 @@ def dense_region_ranks(roots: jax.Array, m: jax.Array):
     return dense, r_plane, k_total
 
 
-def counts_by_rank(dense0: jax.Array, weight: jax.Array) -> jax.Array:
-    """Exact count of weight-true pixels per rank — (65536,) int32.
+def counts_by_rank(dense0: jax.Array, weight: jax.Array,
+                   side: int = _SIDE) -> jax.Array:
+    """Exact count of weight-true pixels per rank — (side², ) int32.
 
-    dense0: 0-based ranks (any shape, int32, values < 65536 for exact
+    dense0: 0-based ranks (any shape, int32, values < side² for exact
     results); weight: bool same shape. One-hot hi/lo einsum on the MXU,
     f32-accumulated per <=2^23-pixel group, int32-summed across groups.
     """
@@ -89,9 +100,9 @@ def counts_by_rank(dense0: jax.Array, weight: jax.Array) -> jax.Array:
             wt = jnp.pad(wt, (0, pad))
     d = d.reshape(groups, -1)
     wt = wt.reshape(groups, -1)
-    iota = jnp.arange(_SIDE, dtype=jnp.int32)
-    oh_hi = ((d // _SIDE)[..., None] == iota).astype(dt)
-    oh_lo = ((d % _SIDE)[..., None] == iota).astype(dt)
+    iota = jnp.arange(side, dtype=jnp.int32)
+    oh_hi = ((d // side)[..., None] == iota).astype(dt)
+    oh_lo = ((d % side)[..., None] == iota).astype(dt)
     oh_hi = oh_hi * wt[..., None].astype(dt)
     per_group = jnp.einsum("gnh,gnl->ghl", oh_hi, oh_lo,
                            preferred_element_type=jnp.float32)
@@ -99,20 +110,21 @@ def counts_by_rank(dense0: jax.Array, weight: jax.Array) -> jax.Array:
     return counts.reshape(-1)
 
 
-def rank_flag_lookup(dense0: jax.Array, flags: jax.Array) -> jax.Array:
+def rank_flag_lookup(dense0: jax.Array, flags: jax.Array,
+                     side: int = _SIDE) -> jax.Array:
     """Per-pixel bool flags[dense0] without a gather.
 
-    flags: (65536,) bool table. Bilinear one-hot contraction
+    flags: (side², ) bool table. Bilinear one-hot contraction
     ``oh_hi @ S @ oh_lo`` — both stages are exact in bf16 (0/1 values,
     one nonzero per one-hot row).
     """
     dt = _mxu_dtype()
     shape = dense0.shape
     d = dense0.ravel()
-    iota = jnp.arange(_SIDE, dtype=jnp.int32)
-    oh_hi = ((d // _SIDE)[:, None] == iota).astype(dt)
-    oh_lo = ((d % _SIDE)[:, None] == iota).astype(dt)
-    s = flags.reshape(_SIDE, _SIDE).astype(dt)
+    iota = jnp.arange(side, dtype=jnp.int32)
+    oh_hi = ((d // side)[:, None] == iota).astype(dt)
+    oh_lo = ((d % side)[:, None] == iota).astype(dt)
+    s = flags.reshape(side, side).astype(dt)
     picked = jnp.einsum("nh,hl->nl", oh_hi, s,
                         preferred_element_type=jnp.float32)
     out = jnp.einsum("nl,nl->n", picked.astype(dt), oh_lo,
@@ -120,10 +132,11 @@ def rank_flag_lookup(dense0: jax.Array, flags: jax.Array) -> jax.Array:
     return (out > 0.5).reshape(shape)
 
 
-def rank_value_lookup(dense0: jax.Array, values: jax.Array) -> jax.Array:
+def rank_value_lookup(dense0: jax.Array, values: jax.Array,
+                      side: int = _SIDE) -> jax.Array:
     """Per-pixel int32 values[dense0] without a gather.
 
-    values: (65536,) int32 table with entries in [0, 65536]. Split into
+    values: (side², ) int32 table with entries in [0, 65536]. Split into
     two 8-bit planes (each 0..256 — exactly representable in bf16), each
     fetched by the bilinear one-hot contraction of rank_flag_lookup, and
     recombined. Exact: one-hot rows have a single nonzero and the MXU
@@ -132,12 +145,12 @@ def rank_value_lookup(dense0: jax.Array, values: jax.Array) -> jax.Array:
     dt = _mxu_dtype()
     shape = dense0.shape
     d = dense0.ravel()
-    iota = jnp.arange(_SIDE, dtype=jnp.int32)
-    oh_hi = ((d // _SIDE)[:, None] == iota).astype(dt)
-    oh_lo = ((d % _SIDE)[:, None] == iota).astype(dt)
+    iota = jnp.arange(side, dtype=jnp.int32)
+    oh_hi = ((d // side)[:, None] == iota).astype(dt)
+    oh_lo = ((d % side)[:, None] == iota).astype(dt)
 
     def fetch(plane):
-        s = plane.reshape(_SIDE, _SIDE).astype(dt)
+        s = plane.reshape(side, side).astype(dt)
         picked = jnp.einsum("nh,hl->nl", oh_hi, s,
                             preferred_element_type=jnp.float32)
         out = jnp.einsum("nl,nl->n", picked.astype(dt), oh_lo,
@@ -150,13 +163,14 @@ def rank_value_lookup(dense0: jax.Array, values: jax.Array) -> jax.Array:
 
 
 def small_mask_by_rank_hist(dense: jax.Array, domain: jax.Array,
-                            threshold: int) -> jax.Array:
+                            threshold: int, side: int = _SIDE) -> jax.Array:
     """domain-pixels whose component (by dense rank) has < threshold
-    domain-pixels. dense: 1-based ranks (valid ranks <= 65536)."""
-    dense0 = jnp.maximum(dense - 1, 0)
-    counts = counts_by_rank(dense0, domain)
+    domain-pixels. dense: 1-based ranks (valid ranks <= side²)."""
+    dense0 = jnp.minimum(jnp.maximum(dense - 1, 0), side * side - 1)
+    counts = counts_by_rank(dense0, domain, side)
     return jnp.logical_and(domain,
-                           rank_flag_lookup(dense0, counts < threshold))
+                           rank_flag_lookup(dense0, counts < threshold,
+                                            side))
 
 
 def small_mask_by_rank_sort(dense: jax.Array, domain: jax.Array,
@@ -171,8 +185,10 @@ def small_mask_by_rank_sort(dense: jax.Array, domain: jax.Array,
 
 def small_mask_guarded(dense: jax.Array, k_total: jax.Array,
                        domain: jax.Array, threshold: int) -> jax.Array:
-    """Histogram path when every rank fits the 65536-bin budget, else the
-    bit-identical sort path (lax.cond: one branch executes per call).
+    """Tiered histogram path by runtime rank count — 64×64 bins when
+    K ≤ 4096 (16× fewer einsum FLOPs), 256×256 when K ≤ 65536, the
+    bit-identical sort path above (nested lax.cond: one branch executes
+    per call).
 
     The one-hot einsums only pay off where they ride the MXU; on CPU/GPU
     hosts (the test mesh) the sort path is used unconditionally — the
@@ -180,7 +196,12 @@ def small_mask_guarded(dense: jax.Array, k_total: jax.Array,
     if _mxu_dtype() is not jnp.bfloat16:
         return small_mask_by_rank_sort(dense, domain, threshold)
     return jax.lax.cond(
-        k_total <= _RANK_BINS,
-        lambda d, dom: small_mask_by_rank_hist(d, dom, threshold),
-        lambda d, dom: small_mask_by_rank_sort(d, dom, threshold),
+        k_total <= _BINS_SMALL,
+        lambda d, dom: small_mask_by_rank_hist(d, dom, threshold,
+                                               _SIDE_SMALL),
+        lambda d, dom: jax.lax.cond(
+            k_total <= _RANK_BINS,
+            lambda d2, dom2: small_mask_by_rank_hist(d2, dom2, threshold),
+            lambda d2, dom2: small_mask_by_rank_sort(d2, dom2, threshold),
+            d, dom),
         dense, domain)

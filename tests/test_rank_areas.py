@@ -107,3 +107,50 @@ def test_sequential_from_ranks_table_matches_propagation(monkeypatch):
     got = np.asarray(sequential_from_ranks_table(
         lab, r_plane, roots, mask2, k, 2))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("side", [64, 256])
+def test_counts_and_lookups_small_tier(side):
+    """The 64x64-bin tier (16x fewer einsum FLOPs) is exact like the
+    256x256 tier for ranks within its 4096-bin budget."""
+    from cellseg_tpu.ops.rank_areas import rank_value_lookup
+
+    rng = np.random.default_rng(6)
+    bins = side * side
+    d = rng.integers(0, bins, (200, 300)).astype(np.int32)
+    w = rng.random((200, 300)) < 0.6
+    got = np.asarray(counts_by_rank(jnp.asarray(d), jnp.asarray(w), side))
+    np.testing.assert_array_equal(got,
+                                  np.bincount(d[w].ravel(), minlength=bins))
+    flags = rng.random(bins) < 0.5
+    got = np.asarray(rank_flag_lookup(jnp.asarray(d), jnp.asarray(flags),
+                                      side))
+    np.testing.assert_array_equal(got, flags[d])
+    values = jnp.asarray(rng.integers(0, 65537, size=(bins,)), jnp.int32)
+    got = np.asarray(rank_value_lookup(jnp.asarray(d), values, side))
+    np.testing.assert_array_equal(got, np.asarray(values)[d])
+
+
+def test_small_mask_guarded_tier_selection(monkeypatch):
+    """With the MXU gate forced open, the tiered guard must agree with the
+    sort path both below and above the 4096-rank small-tier boundary."""
+    import cellseg_tpu.ops.rank_areas as ra
+
+    monkeypatch.setattr(ra, "_mxu_dtype", lambda: jnp.bfloat16)
+    rng = np.random.default_rng(7)
+    mask = rng.random((128, 128)) < 0.5
+    roots = region_roots(mask)
+    dense, _, k = dense_region_ranks(roots,
+                                     jnp.asarray(mask.astype(np.int32)))
+    assert int(k) <= ra._BINS_SMALL  # exercises the 64-bin tier
+    dom = jnp.asarray(mask)
+    got = np.asarray(ra.small_mask_guarded(dense, k, dom, 6))
+    want = np.asarray(small_mask_by_rank_sort(dense, dom, 6))
+    np.testing.assert_array_equal(got, want)
+    # synthetic ranks above the small tier: the 256-bin branch must run
+    d_big = jnp.asarray(
+        rng.integers(1, 9000, (128, 128)).astype(np.int32))
+    k_big = jnp.int32(9000)
+    got = np.asarray(ra.small_mask_guarded(d_big, k_big, dom, 3))
+    want = np.asarray(small_mask_by_rank_sort(d_big, dom, 3))
+    np.testing.assert_array_equal(got, want)
