@@ -47,7 +47,8 @@ def _bilinear(field: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
 
 
 def _decode_propagate(fy: jax.Array, fx: jax.Array, mask: jax.Array,
-                      n_iter: int) -> jax.Array:
+                      n_iter: int,
+                      cores: jax.Array | None = None) -> jax.Array:
     """Gather-free flow tracking via bounded-window pointer propagation.
 
     The 2-hop seeded successor offset is bounded by ±2 px per axis (unit
@@ -100,21 +101,27 @@ def _decode_propagate(fy: jax.Array, fx: jax.Array, mask: jax.Array,
     code = ((oy2 + 2) * 5 + (ox2 + 2)).astype(jnp.int8)  # 0..24
     offs = [(k // 5 - 2, k % 5 - 2) for k in range(25)]
 
-    # 1. mass push (int8 planes, saturated at 100 — only >2 matters)
-    t_push = max(4, min(16, n_iter // 8))
-    m0 = mask.astype(jnp.int8)
+    # 1. attractor cores. Default: unit mass pushed along the pointers
+    # for T hops (the landing histogram as 25 shifted compares). With an
+    # explicit `cores` plane (the omnipose-representation decode derives
+    # cores from the predicted distance field — a POINT attractor rule
+    # fragments along elongated skeletons), skip the push entirely.
+    if cores is None:
+        t_push = max(4, min(16, n_iter // 8))
+        m0 = mask.astype(jnp.int8)
 
-    def push(_, m):
-        acc = jnp.zeros((h, w), jnp.int32)
-        for k, (dy, dx) in enumerate(offs):
-            src_code = _read_at(code, -dy, -dx, -1)
-            src_m = _read_at(m, -dy, -dx, 0).astype(jnp.int32)
-            acc = acc + jnp.where(src_code == k, src_m, 0)
-        return jnp.minimum(acc, 100).astype(jnp.int8)
+        def push(_, m):
+            acc = jnp.zeros((h, w), jnp.int32)
+            for k, (dy, dx) in enumerate(offs):
+                src_code = _read_at(code, -dy, -dx, -1)
+                src_m = _read_at(m, -dy, -dx, 0).astype(jnp.int32)
+                acc = acc + jnp.where(src_code == k, src_m, 0)
+            return jnp.minimum(acc, 100).astype(jnp.int8)
 
-    mass = jax.lax.fori_loop(0, t_push, push, m0)
-
-    core = mass > 2
+        mass = jax.lax.fori_loop(0, t_push, push, m0)
+        core = mass > 2
+    else:
+        core = jnp.logical_and(cores, mask)
     core_d = jax.lax.reduce_window(
         core.astype(jnp.int32), 0, jax.lax.max, (3, 3), (1, 1), "SAME"
     ) > 0
@@ -143,7 +150,8 @@ def _decode_propagate(fy: jax.Array, fx: jax.Array, mask: jax.Array,
 @functools.partial(jax.jit, static_argnames=("n_iter", "method"))
 def decode_flow(flow: jax.Array, cellprob: jax.Array,
                 prob_threshold: float = 0.0, n_iter: int = 100,
-                method: str = "propagate") -> jax.Array:
+                method: str = "propagate",
+                cores: jax.Array | None = None) -> jax.Array:
     """flow (H, W, 2) + cellprob logits (H, W) → int32 instance labels.
 
     method="propagate" (default): fully gather-free tracking. Two seeded
@@ -158,6 +166,12 @@ def decode_flow(flow: jax.Array, cellprob: jax.Array,
     25-way window select is a fused elementwise pass ≈ 1-2 ms, so this
     replaces the doubling method's ⌈log2 n_iter⌉ gathers + 1 scatter + 1
     final gather with ~30 cheap passes.
+    With an explicit `cores` bool plane (propagate method only), core
+    detection is skipped and basins start from the given plane — the
+    omnipose-representation decode passes `dist > core_threshold`, whose
+    components are connected along a cell's interior ridge but separated
+    across touching cells (a point-attractor rule fragments along the
+    elongated skeletons the omni flows converge to).
     method="doubling": a few Euler steps build a pixel→pixel
     successor map, then pointer doubling (succ = succ∘succ) follows
     2^k flow steps with only ⌈log2(n_iter)⌉ gathers.
@@ -175,7 +189,7 @@ def decode_flow(flow: jax.Array, cellprob: jax.Array,
     fx = flow[..., 1].astype(jnp.float32)
 
     if method == "propagate":
-        return _decode_propagate(fy, fx, mask, n_iter)
+        return _decode_propagate(fy, fx, mask, n_iter, cores)
 
     ys0 = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).ravel()
     xs0 = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).ravel()

@@ -51,8 +51,13 @@ class FlowPredictor:
         # omni_head: the model carries the omnipose-representation head
         # (FlowNet(omni=True): aux = (dist, boundary_logit) instead of a
         # 1-channel cell logit; the decode mask is dist > threshold,
-        # threshold 0 by construction — background regresses to −1)
+        # threshold 0 by construction — background regresses to −1).
+        # Basin cores come from the interior ridge dist > core_threshold
+        # (connected along elongated cells, separated at contacts where
+        # both sides regress dist ≈ 1; a point-attractor core rule
+        # fragments along the skeletons omni flows converge to).
         self.omni_head = omni_head
+        self.core_threshold = 2.0
         # explicit method wins; else the omnipose REPRESENTATION decodes
         # with the same bounded-window tracker (its ∇φ flows are unit
         # vectors too); the legacy omni FLAG without the head selects the
@@ -97,6 +102,9 @@ class FlowPredictor:
                     flow, aux = self.apply_fn(p, t)
                     return jnp.concatenate([flow, aux], axis=-1)
 
+                omni_head = self.omni_head
+                core_th = self.core_threshold
+
                 @jax.jit
                 def f(p, x):
                     out = sliding_window_inference(
@@ -105,9 +113,12 @@ class FlowPredictor:
                         out_channels=n_out)
                     # omni head: channel 2 is the regressed distance
                     # field — thresholding it IS the mask rule (dist > 0)
+                    # and the interior ridge (dist > core_th) seeds the
+                    # basins (see decode_flow `cores`)
+                    cores = (out[..., 2] > core_th) if omni_head else None
                     return decode_flow(out[..., :2], out[..., 2],
                                        self.prob_threshold, self.n_iter,
-                                       method=method)
+                                       method=method, cores=cores)
 
                 self._jitted[key] = f
             # pad to a multiple of the roi stride for bounded compiles
@@ -122,12 +133,16 @@ class FlowPredictor:
         ph, pw = -(-h // 32) * 32, -(-w // 32) * 32
         key = (ph, pw)
         if key not in self._jitted:
+            omni_head = self.omni_head
+            core_th = self.core_threshold
+
             @jax.jit
             def f(p, x):
-                flow, cellprob = self.apply_fn(p, x[None])
-                return decode_flow(flow[0], cellprob[0, ..., 0],
+                flow, aux = self.apply_fn(p, x[None])
+                cores = (aux[0, ..., 0] > core_th) if omni_head else None
+                return decode_flow(flow[0], aux[0, ..., 0],
                                    self.prob_threshold, self.n_iter,
-                                   method=method)
+                                   method=method, cores=cores)
 
             self._jitted[key] = f
         padded = np.zeros((ph, pw, 1), np.float32)

@@ -162,3 +162,27 @@ def test_omni_train_predict_roundtrip(tmp_path):
     assert pred.method == "propagate"
     labels = pred._forward_decode(img.astype(np.float32) / 255.0)
     assert labels.max() >= 1  # found at least one cell
+
+
+def test_omni_decode_rods_with_distance_cores():
+    """Elongated capsules: the point-attractor core rule fragments along
+    the skeleton, the distance-ridge cores (dist > 2) recover each rod as
+    ONE instance (the omnipose regime; decode_flow `cores`)."""
+    import jax.numpy as jnp
+
+    from cellseg_tpu.decode.flow import decode_flow
+    from cellseg_tpu.metrics.f1 import eval_tp_fp_fn
+
+    yy, xx = np.mgrid[:64, :96].astype(np.float64)
+    lbl = np.zeros((64, 96), np.int32)
+    # two horizontal rods stacked with a 1-px contact
+    for i, cy in enumerate((24, 36)):
+        m = (np.abs(yy - cy) <= 6) & (np.abs(xx - 48) <= 34)
+        lbl[m & (lbl == 0)] = i + 1
+    flow, dist, _ = masks_to_flows_omni(lbl)
+    out = np.asarray(decode_flow(
+        jnp.asarray(np.moveaxis(flow, 0, -1)), jnp.asarray(dist),
+        0.0, 80, method="propagate",
+        cores=jnp.asarray(dist > 2.0)))
+    tp, fp, fn = eval_tp_fp_fn(lbl, out, threshold=0.5)
+    assert (tp, fp, fn) == (2, 0, 0)
