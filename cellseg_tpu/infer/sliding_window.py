@@ -107,7 +107,7 @@ def tiles_to_canvas(tiles: jax.Array, stride: int, roi: int,
     return out
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=8)  # ~19 MB/entry at 2176²; few shapes live
 def _inv_count_canvas(n_ty: int, n_tx: int, stride: int, roi: int,
                       ph: int, pw: int, mode: str) -> np.ndarray:
     """Reciprocal of the blend-weight canvas for a uniform grid.

@@ -115,12 +115,14 @@ def augment_distance_sample(key: jax.Array, img: jax.Array,
     gamma = jax.random.uniform(keys[6], minval=0.65, maxval=1.35)
     x01 = jnp.clip((img_a + 1.0) / 2.0, 0.0, 1.0)
     gammaed = (x01 ** gamma) * 2.0 - 1.0
-    p_lo = jax.random.uniform(jax.random.fold_in(key, 104), minval=0.0,
-                              maxval=8.0)
-    p_hi = jax.random.uniform(jax.random.fold_in(key, 105), minval=92.0,
-                              maxval=100.0)
-    lo = jnp.percentile(x01, p_lo)
-    hi = jnp.percentile(x01, p_hi)
+    # the reference stretches between the (0.2, 99.8) percentiles
+    # (mytransforms.py:104-105) — an outlier-robust near-min-max. More
+    # aggressive percentiles were measured to DESTROY sparse images
+    # (92nd percentile of a mostly-background crop is background level,
+    # clipping every cell pixel to 1.0): anchor train OP_CSB fell
+    # 0.43 → 0.10 with (0-8, 92-100) randomized bounds.
+    lo = jnp.percentile(x01, 0.2)
+    hi = jnp.percentile(x01, 99.8)
     stretched = jnp.clip((x01 - lo) / jnp.maximum(hi - lo, 1e-6),
                          0.0, 1.0) * 2.0 - 1.0
     contrasted = jnp.where(pick_stretch, stretched, gammaed)
