@@ -120,12 +120,17 @@ def _decode_propagate(fy: jax.Array, fx: jax.Array, mask: jax.Array,
 
         mass = jax.lax.fori_loop(0, t_push, push, m0)
         core = mass > 2
+        # point-attractor cores are scattered grid cells of one attractor:
+        # 3×3-dilate to merge them before labeling (same as doubling)
+        core = jax.lax.reduce_window(
+            core.astype(jnp.int32), 0, jax.lax.max, (3, 3), (1, 1), "SAME"
+        ) > 0
     else:
+        # explicit ridge cores are already connected regions along each
+        # cell's interior — dilation only bridges the 1-2 px gaps between
+        # touching cells' ridges (measured +3 merges/image on the rod set)
         core = jnp.logical_and(cores, mask)
-    core_d = jax.lax.reduce_window(
-        core.astype(jnp.int32), 0, jax.lax.max, (3, 3), (1, 1), "SAME"
-    ) > 0
-    basins = label_components(core_d, connectivity=2)
+    basins = label_components(core, connectivity=2)
 
     # 2. backward label propagation to the fixed point
     def body(state):

