@@ -224,6 +224,77 @@ def eval_pipelines(rot: str, train: str, test: str, args,
                 os.path.join(test, "labels"), seg,
                 os.path.join(rot, f"m3c_{tag}"))
 
+    if "distance_permod" in args.pipelines:
+        # KIT-GE trains one model PER CELL TYPE (per modality): the
+        # reference's training sets, downloaders, and eval are all keyed by
+        # CTC cell-type directory (KIT-GE/download_models.py:24-45,
+        # segmentation/training — never one mixed model). The mixed-corpus
+        # distance leg collapses to predicting the corpus-mean distance
+        # value (diagnosed round 5: sweep threshold-invariant, mask
+        # fraction 0% at th_cell 0.25 vs 96% at 0.07 — the cell head's
+        # output histogram squeezed at ~0.1-0.2). Per-modality training is
+        # the reference-faithful setting for this leg.
+        import pandas as pd
+
+        per = {}
+        merged_seg = os.path.join(rot, "segd_permod")
+        shutil.rmtree(merged_seg, ignore_errors=True)
+        os.makedirs(merged_seg, exist_ok=True)
+        clahe = ["--apply_clahe"] if args.apply_clahe else []
+        stems = sorted({n.rsplit(".", 1)[0] for n in NAMES})
+        from cellseg_tpu.io import list_images
+
+        for stem in stems:
+            sub = os.path.join(rot, f"mod_{stem}")
+            strain = os.path.join(sub, "train")
+            for d in ("images", "labels"):
+                os.makedirs(os.path.join(strain, d), exist_ok=True)
+                src = os.path.join(train, d)
+                for f in os.listdir(src):
+                    if f.startswith(stem):
+                        dst = os.path.join(strain, d, f)
+                        if not os.path.exists(dst):
+                            shutil.copy(os.path.join(src, f), dst)
+            wd = os.path.join(sub, "wdd")
+            model_dir = os.path.join(wd, "dunet_distance")
+            if not os.path.exists(os.path.join(model_dir,
+                                               "best_model.ckpt")):
+                run([sys.executable, "-m",
+                     "cellseg_tpu.cli.train_distance",
+                     "--data_path", strain, "--work_dir", wd,
+                     "--crop_size", str(args.crop_dist),
+                     "--max_epochs", str(args.epochs_dist)])
+            sweep_dir = os.path.join(sub, "sweep")
+            run([sys.executable, "-m", "cellseg_tpu.cli.eval_distance",
+                 "--data_path", strain, "--model_path", model_dir,
+                 "--th_seed", "0.35", "0.45", "0.55", "0.65",
+                 "--th_cell", "0.07", "0.25", "0.5",
+                 "-o", sweep_dir] + clahe)
+            df = pd.read_csv(os.path.join(sweep_dir, "metrics.csv"))
+            best = df.loc[df["OP_CSB"].idxmax()]
+            th_seed, th_cell = float(best["th_seed"]), float(best["th_cell"])
+            stest = os.path.join(sub, "test_images")
+            os.makedirs(stest, exist_ok=True)
+            for f in list_images(os.path.join(test, "images")):
+                if f.startswith(stem):
+                    dst = os.path.join(stest, f)
+                    if not os.path.exists(dst):
+                        shutil.copy(os.path.join(test, "images", f), dst)
+            seg = os.path.join(sub, "segd")
+            shutil.rmtree(seg, ignore_errors=True)
+            run([sys.executable, "-m", "cellseg_tpu.cli.infer_distance",
+                 "-i", stest, "-o", seg, "--model_path", model_dir,
+                 "--th_seed", str(th_seed), "--th_cell", str(th_cell)]
+                + clahe)
+            for f in os.listdir(seg):
+                shutil.copy(os.path.join(seg, f), merged_seg)
+            per[stem] = {"th_seed": th_seed, "th_cell": th_cell,
+                         "train_OP_CSB": float(best["OP_CSB"])}
+        scores = f1_per_case(os.path.join(test, "labels"), merged_seg,
+                             os.path.join(rot, "md_permod"))
+        scores["per_modality"] = per
+        results.setdefault("distance_permod", {})[key] = scores
+
     if "distance" in args.pipelines:
         wd = os.path.join(rot, "wdd")
         model_dir = os.path.join(wd, "dunet_distance")

@@ -17,12 +17,11 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
-_CHILD = """
-import json, sys, time
+_GEN = """
+import sys
 sys.path.insert(0, %(repo)r)
-import jax, jax.numpy as jnp, numpy as np
+import numpy as np
 from bench import make_slide
-from cellseg_tpu.decode.distance import _flood, _seeds_and_mask
 from cellseg_tpu.pipeline.distance_labels import distance_label_2d
 
 H = W = %(H)d
@@ -30,8 +29,21 @@ n_cells = max(8, int(1200 * (H * W) / (2048 * 2048)))
 _, labels = make_slide(H, W, n_cells=n_cells, seed=0, return_labels=True)
 cell_t, neigh_t = distance_label_2d(labels, cell_radius=25,
                                     neighbor_radius=50)
-border_d = jnp.asarray(neigh_t.astype(np.float32))
-cell_d = jnp.asarray(cell_t.astype(np.float32))
+np.savez(%(cache)r, cell=cell_t.astype(np.float32),
+         neigh=neigh_t.astype(np.float32))
+print("cached", %(cache)r)
+"""
+
+_CHILD = """
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+import jax, jax.numpy as jnp, numpy as np
+from cellseg_tpu.decode.distance import _flood, _seeds_and_mask
+
+H = W = %(H)d
+_z = np.load(%(cache)r)
+border_d = jnp.asarray(_z["neigh"])
+cell_d = jnp.asarray(_z["cell"])
 th_cell, th_seed = jnp.float32(0.07), jnp.float32(0.45)
 cell_s, mask, seeds = _seeds_and_mask(cell_d, border_d, th_cell, th_seed)
 
@@ -69,10 +81,30 @@ print(json.dumps({"flood_ms": float(np.median(ts)),
 """
 
 
+def _cache_path(H: int) -> str:
+    return f"/tmp/ws_ab_inputs_{H}.npz"
+
+
+def ensure_inputs(H: int) -> None:
+    """Generate the EDT-target workload ONCE (host-side distance_label_2d
+    at 2048² costs ~15 min on this 1-core box — the two A/B children load
+    the cached npz instead of regenerating)."""
+    if os.path.exists(_cache_path(H)):
+        return
+    code = _GEN % {"repo": REPO, "H": H, "cache": _cache_path(H)}
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=3600,
+                       env=dict(os.environ, JAX_PLATFORMS="cpu"))
+    if r.returncode != 0:
+        print(r.stderr[-3000:])
+        raise SystemExit("input generation failed")
+
+
 def run(tag: str, H: int, env_extra: dict) -> dict:
     env = dict(os.environ, **env_extra)
     out_npy = f"/tmp/ws_ab_{tag}.npy"
-    code = _CHILD % {"repo": REPO, "H": H, "out": out_npy}
+    code = _CHILD % {"repo": REPO, "H": H, "out": out_npy,
+                     "cache": _cache_path(H)}
     r = subprocess.run([sys.executable, "-c", code], env=env,
                        capture_output=True, text=True, timeout=1800)
     if r.returncode != 0:
@@ -88,6 +120,7 @@ def main():
     H = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     import numpy as np
 
+    ensure_inputs(H)
     new = run("new", H, {})
     old = run("old", H, {"CELLSEG_NO_WSLOCAL": "1"})
     a = np.load(old["npy"])
