@@ -328,13 +328,32 @@ def main_distance(H: int = 2048):
     model = build_model("dunet", dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 256, 256, 1), jnp.float32))
-    x = jnp.asarray((labels > 0).astype(np.float32)[None, ..., None])
+    x = jnp.asarray((labels > 0).astype(np.float32)[..., None])
+
+    # MXU-batched 512²-tile forward (DistancePredictor tile_threshold
+    # path): the whole-image DUNet at 2048² moves 48.7 GB (74.8 ms,
+    # 79.5% of HBM roofline) while tile batches lift AI 41 → 152 and run
+    # 3.1× faster — scripts/roofline_dunet.py, BASELINE.md round 5.
+    from cellseg_tpu.infer.sliding_window import (balanced_sw_batch,
+                                                  sliding_window_inference,
+                                                  tile_origins)
+
+    _roi = 512
+    _n_tiles = (len(tile_origins(H, _roi, 0.25))
+                * len(tile_origins(W, _roi, 0.25)))
+    _swb = balanced_sw_batch(_n_tiles, max(1, int(128 * (256 / _roi) ** 2)))
+
+    def _tiles_fn(p, t):
+        border, cell = model.apply(p, t)
+        return jnp.concatenate([border, cell], axis=-1)
 
     @jax.jit
     def fwd(p, x):
-        border, cell = model.apply(p, x)
-        # single synced output; both heads are still computed
-        return border[0, ..., 0] + cell[0, ..., 0]
+        out = sliding_window_inference(_tiles_fn, p, x, roi=_roi,
+                                       sw_batch=_swb, overlap=0.25,
+                                       out_channels=2)
+        # single synced output; both heads are still computed + blended
+        return out[..., 0] + out[..., 1]
 
     sync = jax.jit(lambda a: jnp.sum(a.astype(jnp.float32)))
     th_cell, th_seed = jnp.float32(0.07), jnp.float32(0.45)

@@ -45,6 +45,12 @@ def main(argv=None):
                         help="also write raw cell/border predictions and "
                              "the tan-transformed border map (reference "
                              "inference.py:118-121)")
+    parser.add_argument("--tile_threshold", default=0, type=int,
+                        help="route images larger than this through the "
+                             "MXU-batched 512-tile sliding-window forward "
+                             "(3.1x the whole-image forward at 2048^2 — "
+                             "BASELINE.md round 5); 0 keeps the "
+                             "reference's whole-image semantics")
     args = parser.parse_args(argv)
 
     from ..utils.cache import enable_compilation_cache
@@ -64,6 +70,7 @@ def main(argv=None):
         lambda p, x: model.apply(p, x), params,
         th_cell=args.th_cell, th_seed=args.th_seed,
         use_clahe=args.apply_clahe, scale=args.scale,
+        tile_threshold=args.tile_threshold,
     )
 
     results = {}

@@ -42,17 +42,29 @@ def apply_clahe(img_u16: np.ndarray) -> np.ndarray:
 
 
 class DistancePredictor:
-    """DUNet whole-image predictor with shape-bucketed jitted programs."""
+    """DUNet whole-image predictor with shape-bucketed jitted programs.
+
+    tile_threshold > 0 routes images with max(H, W) > tile_threshold
+    through the MXU-batched sliding-window engine (512² tiles, parity
+    blend) instead of the whole-image forward: the whole-image DUNet at
+    2048² is HBM-bound at 48.7 GB of traffic (74.8 ms, 79.5% of the v5e
+    roofline) while 512²-tile batches lift arithmetic intensity 41 → 152
+    and run 3.1× faster (24.0 ms, MFU 40.2%) — see BASELINE.md round 5.
+    Default 0 keeps the reference's whole-image semantics
+    (KIT-GE utils.py:187-226 pads whole images up to 8192 px)."""
 
     def __init__(self, apply_fn, params, th_cell: float = 0.07,
                  th_seed: float = 0.45, use_clahe: bool = False,
-                 scale: float = 1.0):
+                 scale: float = 1.0, tile_threshold: int = 0,
+                 roi: int = 512):
         self.apply_fn = apply_fn
         self.params = params
         self.th_cell = th_cell
         self.th_seed = th_seed
         self.use_clahe = use_clahe
         self.scale = scale
+        self.tile_threshold = int(tile_threshold or 0)
+        self.roi = roi
         self._jitted = {}
 
     def _forward(self, shape):
@@ -64,6 +76,49 @@ class DistancePredictor:
 
             self._jitted[shape] = f
         return self._jitted[shape]
+
+    def _forward_tiled(self, shape):
+        key = ("tiled", shape)
+        if key not in self._jitted:
+            from .sliding_window import (balanced_sw_batch,
+                                         sliding_window_inference,
+                                         tile_origins)
+
+            ph, pw = shape
+            n_tiles = (len(tile_origins(ph, self.roi, 0.25))
+                       * len(tile_origins(pw, self.roi, 0.25)))
+            budget = max(1, int(128 * (256 / self.roi) ** 2))
+            sw_batch = balanced_sw_batch(n_tiles, budget)
+
+            def tiles_fn(p, t):
+                border, cell = self.apply_fn(p, t)
+                return jnp.concatenate([border, cell], axis=-1)
+
+            @jax.jit
+            def f(params, x):
+                out = sliding_window_inference(
+                    tiles_fn, params, x, roi=self.roi, sw_batch=sw_batch,
+                    overlap=0.25, out_channels=2)
+                return out[..., 0], out[..., 1]
+
+            self._jitted[key] = f
+        return self._jitted[key]
+
+    def _run_forward(self, x: np.ndarray):
+        """Normalized 2D float input → (border, cell) np arrays."""
+        h, w = x.shape
+        if self.tile_threshold and max(h, w) > self.tile_threshold:
+            b = self.roi
+            ph, pw = -(-h // b) * b, -(-w // b) * b
+            padded = np.zeros((ph, pw, 1), np.float32)
+            padded[:h, :w, 0] = x
+            fwd = self._forward_tiled((ph, pw))
+            border, cell = fwd(self.params, jnp.asarray(padded))
+        else:
+            padded, h, w = pad_to_bucket(x)
+            fwd = self._forward(padded.shape)
+            border, cell = fwd(self.params, jnp.asarray(padded[..., None]))
+        return np.asarray(border)[:h, :w], np.asarray(cell)[:h, :w]
 
     def predict_volume(self, stack: np.ndarray, n_splitting: int = 40,
                        fuse_z_seeds: bool = False) -> np.ndarray:
@@ -95,10 +150,7 @@ class DistancePredictor:
         if self.use_clahe:
             u16 = apply_clahe(u16)
         x = u16.astype(np.float32) / 65535.0 * 2.0 - 1.0
-        padded, h, w = pad_to_bucket(x)
-        fwd = self._forward(padded.shape)
-        border, cell = fwd(self.params, jnp.asarray(padded[..., None]))
-        return np.asarray(border)[:h, :w], np.asarray(cell)[:h, :w]
+        return self._run_forward(x)
 
     def predict(self, img: np.ndarray) -> np.ndarray:
         img = np.asarray(img)
@@ -119,11 +171,7 @@ class DistancePredictor:
                 cv2.INTER_LINEAR,
             )
         x = u16.astype(np.float32) / 65535.0 * 2.0 - 1.0
-        padded, h, w = pad_to_bucket(x)
-        fwd = self._forward(padded.shape)
-        border, cell = fwd(self.params, jnp.asarray(padded[..., None]))
-        border = np.asarray(border)[:h, :w]
-        cell = np.asarray(cell)[:h, :w]
+        border, cell = self._run_forward(x)
         # network-resolution raw heads (--save_raw_pred parity with
         # reference inference.py:118-121, which dumps pre-resize outputs)
         self.last_raw = (border, cell)

@@ -132,3 +132,33 @@ def test_flow_roundtrip():
                                   jnp.asarray(cellprob), n_iter=100))
     s = score_pair(lbl, pred, threshold=0.5, count_bd_cells=True)
     assert s["f1"] == 1.0, s
+
+
+def test_distance_predictor_tiled_routing_parity():
+    """tile_threshold routes large inputs through the sliding-window
+    forward; with a POINTWISE apply_fn the overlap blend averages
+    identical values, so tiled and whole-image paths must agree exactly
+    (pins routing + blend normalization; conv-context deltas are covered
+    by the engine's MONAI-parity tests)."""
+    import jax.numpy as jnp
+
+    from cellseg_tpu.infer.distance_infer import DistancePredictor
+
+    def apply_fn(params, t):
+        return t * 2.0, t * 3.0 + 1.0
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(160, 130).astype(np.float32)
+
+    whole = DistancePredictor(apply_fn, {}, tile_threshold=0)
+    tiled = DistancePredictor(apply_fn, {}, tile_threshold=64, roi=64)
+    bw, cw = whole.predict_raw(img)
+    bt, ct = tiled.predict_raw(img)
+    assert bw.shape == bt.shape == img.shape
+    np.testing.assert_allclose(bt, bw, atol=1e-5)
+    np.testing.assert_allclose(ct, cw, atol=1e-5)
+    # small images stay on the whole-image path (no tiled program cached)
+    small = DistancePredictor(apply_fn, {}, tile_threshold=64, roi=64)
+    small.predict_raw(img[:40, :40])
+    assert not any(isinstance(k, tuple) and k and k[0] == "tiled"
+                   for k in small._jitted)
