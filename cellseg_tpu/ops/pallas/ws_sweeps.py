@@ -169,6 +169,14 @@ def ws_sweeps_config(h: int, w: int):
         return None
     if w % 128 != 0:
         return None
+    # Current libtpu places the custom-call result tuple in scoped VMEM
+    # inside the while body; at 2048² that is an 18.12M stack request vs
+    # the 16M scoped limit (compile-time OOM on this legacy path — the
+    # default route is ws_local). Gate full planes above ~8 MB so the
+    # escape hatch degrades to the plain-XLA relax loop instead of
+    # failing to compile (measured round 5, scripts/ws_ab.py docstring).
+    if h * w * 4 > 8 * 2**20:
+        return None
     budget = 14 * 2**20
     for stripe, k in ((64, 8), (32, 8)):
         if h % stripe != 0 or h < 2 * stripe or stripe < k:

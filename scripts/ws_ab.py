@@ -1,8 +1,16 @@
-"""A/B microbench: block-local watershed flood vs the round-4 k-fold sweep
+"""A/B microbench: block-local watershed flood vs the plain-XLA relax
 flood, on the distance bench's realistic EDT-target workload (VERDICT r5
-item 3). Subprocess-isolated via CELLSEG_NO_WSLOCAL; chained timing with
+item 3). Subprocess-isolated via CELLSEG_NO_PALLAS; chained timing with
 forced materialization (block_until_ready returns at enqueue on the axon
 tunnel).
+
+The round-4 k-fold sweep kernel (CELLSEG_NO_WSLOCAL=1 alone) no longer
+compiles at 2048² under the current libtpu: XLA places the custom-call
+result tuple in scoped VMEM inside the while body (18.12M vs the 16M
+scoped limit) — a toolchain regression on the legacy escape-hatch path,
+not the default (ws_local) route. Its round-4 on-chip number (30.7 ms
+net at 4.2 MP, BENCH_EXTRA_r04.json) is the historical reference; the
+measured baseline here is the XLA relax loop.
 
 Run on the real chip: python scripts/ws_ab.py [H]
 """
@@ -122,7 +130,7 @@ def main():
 
     ensure_inputs(H)
     new = run("new", H, {})
-    old = run("old", H, {"CELLSEG_NO_WSLOCAL": "1"})
+    old = run("old", H, {"CELLSEG_NO_PALLAS": "1"})
     a = np.load(old["npy"])
     b = np.load(new["npy"])
     if np.array_equal(a, b):
