@@ -54,7 +54,11 @@ HOLDOUT_QUAD = {"cell_00225": "bl", "cell_00528": "bl",
 
 def run(cmd: list[str]) -> None:
     print("+", " ".join(cmd), flush=True)
-    subprocess.run(cmd, check=True, cwd=REPO)
+    # unbuffered children: epoch/sweep progress reaches a redirected log
+    # live instead of flushing only at process exit (multi-hour runs are
+    # unobservable otherwise)
+    env = dict(os.environ, PYTHONUNBUFFERED="1")
+    subprocess.run(cmd, check=True, cwd=REPO, env=env)
 
 
 def best_ckpt(model_dir: str) -> str:
